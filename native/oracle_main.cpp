@@ -1,0 +1,473 @@
+// Golden-value oracle for the planet_tpu parity tests.
+//
+// This is NOT product code: it is a headless re-statement of the algorithms
+// specified in SURVEY.md (which cites the reference formulas at
+// /root/reference/perlin.h:10-88, main.cpp:123-151, 537-598, 689-734,
+// 823-832), written fresh so pytest can compare the JAX engine against a
+// scalar C build bit-for-bit. It dumps .npy files into the directory given
+// as argv[1].
+//
+// Build: g++ -O2 -o oracle oracle_main.cpp   (see native/Makefile)
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <cmath>
+#include <string>
+#include <vector>
+
+// ---------------------------------------------------------------- npy output
+
+static void npy_write(const std::string &path, const char *descr,
+                      const std::vector<size_t> &shape, const void *data,
+                      size_t elem_size) {
+    std::string dict = "{'descr': '";
+    dict += descr;
+    dict += "', 'fortran_order': False, 'shape': (";
+    size_t count = 1;
+    for (size_t i = 0; i < shape.size(); i++) {
+        char buf[32];
+        snprintf(buf, sizeof buf, "%zu", shape[i]);
+        dict += buf;
+        if (shape.size() == 1 || i + 1 < shape.size()) dict += ",";
+        if (i + 1 < shape.size()) dict += " ";
+        count *= shape[i];
+    }
+    dict += "), }";
+    size_t header_len = 10 + dict.size() + 1;       // magic+ver+len + dict + \n
+    size_t pad = (64 - header_len % 64) % 64;
+    dict.append(pad, ' ');
+    dict += '\n';
+
+    FILE *f = fopen(path.c_str(), "wb");
+    if (!f) { fprintf(stderr, "cannot open %s\n", path.c_str()); exit(1); }
+    const unsigned char magic[8] = {0x93, 'N', 'U', 'M', 'P', 'Y', 1, 0};
+    fwrite(magic, 1, 8, f);
+    uint16_t hl = (uint16_t)dict.size();
+    fwrite(&hl, 2, 1, f);
+    fwrite(dict.data(), 1, dict.size(), f);
+    fwrite(data, elem_size, count, f);
+    fclose(f);
+}
+
+static void npy_f32(const std::string &p, const std::vector<size_t> &s,
+                    const std::vector<float> &d) { npy_write(p, "<f4", s, d.data(), 4); }
+static void npy_f64(const std::string &p, const std::vector<size_t> &s,
+                    const std::vector<double> &d) { npy_write(p, "<f8", s, d.data(), 8); }
+static void npy_u64(const std::string &p, const std::vector<size_t> &s,
+                    const std::vector<uint64_t> &d) { npy_write(p, "<u8", s, d.data(), 8); }
+static void npy_i64(const std::string &p, const std::vector<size_t> &s,
+                    const std::vector<int64_t> &d) { npy_write(p, "<i8", s, d.data(), 8); }
+
+// ------------------------------------------------------- deterministic PRNG
+
+struct Rng {
+    uint64_t s;
+    explicit Rng(uint64_t seed) : s(seed) {}
+    uint64_t next() {
+        s ^= s >> 12;
+        s ^= s << 25;
+        s ^= s >> 27;
+        return s * 2685821657736338717ULL;
+    }
+    // uniform double in [0, 1) with 53 random bits — exactly reproducible
+    // from integer ops in Python.
+    double uniform() { return (double)(next() >> 11) * (1.0 / 9007199254740992.0); }
+    double range(double lo, double hi) { return lo + uniform() * (hi - lo); }
+    uint64_t below(uint64_t n) { return next() % n; }
+};
+
+// ----------------------------------------------------------------- noise
+
+static const unsigned char kPerm[256] = {
+    211,222, 90, 42,136, 37,204,126, 22,101,213,137,251, 28,247,205,
+    185,176,200,206,243,130,252,188, 19,235,231,  1,170,109, 11, 31,
+     58,134,230,148, 65,184,250,226,129,197,135, 99,201,  5, 40,220,
+    132,218, 15,110,120,239,151, 35,141, 70,217,  7,107,150,178,162,
+    160, 93,164,118,174, 29, 45, 84,207, 81,  8, 64, 43,244,203, 67,
+     95, 25, 69,  3,183,242, 94,172,121,144,122,249, 61,159,240, 59,
+    193,157,224, 52, 71,112, 32,167,155,165,177,255, 78, 10, 26,149,
+    124,133,140,189,233, 60, 96,254, 50,236,131,215, 49, 79, 54,214,
+    196,104,234, 18,181, 53,152,116,127, 30,182,  6, 98,146,208,102,
+    221,241, 48,228, 73, 82,245,142,105, 80, 34,246, 23,139,238, 97,
+     51,190,186,232, 44, 91, 87,173, 16,168, 46, 75,199,138,198, 33,
+     24, 66,225,195,169,100, 88,237, 38, 57,  0,  4, 86, 14,253,115,
+     47,212,180,171,163, 63,194,227,210, 62, 12, 89,161,192, 39,166,
+    128,123, 17,223,106,117,229,108, 76,145,125,219,175, 36,202,114,
+    153, 72,209, 27, 83, 85, 13, 68,147,158,187,179,156,154, 56, 77,
+     20,143,119,103,113,191,  9, 41, 74,216,  2,111, 21, 92,248, 55,
+};
+
+static const float kGrad[16][3] = {
+    {1,1,0},{-1,1,0},{1,-1,0},{-1,-1,0},
+    {1,0,1},{-1,0,1},{1,0,-1},{-1,0,-1},
+    {0,1,1},{0,-1,1},{0,1,-1},{0,-1,-1},
+    {1,1,0},{-1,1,0},{0,-1,1},{0,-1,-1},
+};
+
+static inline int perm_at(int i) { return kPerm[i & 255]; }
+
+static inline float grad_dot(float x, float y, float z, int ix, int iy, int iz) {
+    int h = perm_at(perm_at(perm_at(ix) + iy) + iz);
+    const float *g = kGrad[h & 15];
+    return x * g[0] + y * g[1] + z * g[2];
+}
+
+static float noise3(double x, double y, double z) {
+    // cell split: truncation toward zero of a conditionally shifted value
+    int ix = (int)((x < 0.0) ? (x - 1.0) : x);
+    int iy = (int)((y < 0.0) ? (y - 1.0) : y);
+    int iz = (int)((z < 0.0) ? (z - 1.0) : z);
+    x -= ix; y -= iy; z -= iz;
+
+    float u = (float)((((x) * 6.0f - 15.0f) * (x) + 10.0f) * (x) * (x) * (x));
+    float v = (float)((((y) * 6.0f - 15.0f) * (y) + 10.0f) * (y) * (y) * (y));
+    float w = (float)((((z) * 6.0f - 15.0f) * (z) + 10.0f) * (z) * (z) * (z));
+
+    float g000 = grad_dot((float)x,       (float)y,       (float)z,       ix,   iy,   iz);
+    float g100 = grad_dot((float)(x - 1), (float)y,       (float)z,       ix+1, iy,   iz);
+    float g010 = grad_dot((float)x,       (float)(y - 1), (float)z,       ix,   iy+1, iz);
+    float g110 = grad_dot((float)(x - 1), (float)(y - 1), (float)z,       ix+1, iy+1, iz);
+    float g001 = grad_dot((float)x,       (float)y,       (float)(z - 1), ix,   iy,   iz+1);
+    float g101 = grad_dot((float)(x - 1), (float)y,       (float)(z - 1), ix+1, iy,   iz+1);
+    float g011 = grad_dot((float)x,       (float)(y - 1), (float)(z - 1), ix,   iy+1, iz+1);
+    float g111 = grad_dot((float)(x - 1), (float)(y - 1), (float)(z - 1), ix+1, iy+1, iz+1);
+
+#define LERP_(a, b, t) ((a) + ((b) - (a)) * (t))
+    float x00 = LERP_(g000, g100, u);
+    float x10 = LERP_(g010, g110, u);
+    float x01 = LERP_(g001, g101, u);
+    float x11 = LERP_(g011, g111, u);
+    float y0 = LERP_(x00, x10, v);
+    float y1 = LERP_(x01, x11, v);
+    return LERP_(y0, y1, w);
+#undef LERP_
+}
+
+static float fbm(double x, double y, double z, double lac, float gain, int oct) {
+    double freq = 1.0;
+    float amp = 1.0f, value = 0.0f;
+    for (int i = 0; i < oct; i++) {
+        value += noise3(x * freq, y * freq, z * freq) * amp;
+        freq *= lac;
+        amp *= gain;
+    }
+    return value;
+}
+
+static float ridged(double x, double y, double z, double lac, float gain, int oct) {
+    const float offset = 1.0f;
+    double freq = 1.0;
+    float amp = 1.0f, weight = 1.0f, value = 0.0f;
+    for (int i = 0; i < oct; i++) {
+        float n = noise3(x * freq, y * freq, z * freq);
+        if (n < 0.0f) n = -n;
+        n = offset - n;
+        n = n * n;
+        value += n * amp * weight;
+        weight = n;
+        freq *= lac;
+        amp *= gain;
+    }
+    return value;
+}
+
+// ----------------------------------------------------------- terrain functor
+
+struct V3d { double x, y, z; };
+static inline V3d v3(double x, double y, double z) { return {x, y, z}; }
+static inline V3d operator+(V3d a, V3d b) { return {a.x+b.x, a.y+b.y, a.z+b.z}; }
+static inline V3d operator-(V3d a, V3d b) { return {a.x-b.x, a.y-b.y, a.z-b.z}; }
+static inline V3d operator*(V3d a, double s) { return {a.x*s, a.y*s, a.z*s}; }
+static inline double dot(V3d a, V3d b) { return a.x*b.x + a.y*b.y + a.z*b.z; }
+static inline V3d normalize(V3d a) {
+    double len = sqrt(dot(a, a));
+    return {a.x / len, a.y / len, a.z / len};
+}
+
+static float terrain_height(V3d p, int depth, int max_depth) {
+    int octaves = 6 + 12 * depth / max_depth;
+    p = p * 0.00001;
+    return ridged(p.x, p.y, p.z, 2.0f, 0.55f, octaves) * 8848.0f;
+}
+
+// --------------------------------------------------- quadtree / cube sphere
+
+static const double kRadius = 6371000.0;
+static const int kMaxLod = 18;   // (int)(log2(2*pi*R/29) - 2) for R=6371 km
+
+struct QID { uint64_t v; };
+
+static QID root_id(uint64_t face) {
+    return { (1ULL << 63) | (face << 60) };
+}
+static uint64_t id_depth(QID q) { return (q.v >> 55) & 31ULL; }
+static QID child_id(QID q, uint64_t child) {
+    uint64_t depth = id_depth(q);
+    return { (q.v + (1ULL << 55)) | (child << (2 * depth)) };
+}
+
+struct OQuad { V3d p[4]; QID id; };
+
+// Root quads: cube corners normalized to the sphere, with the reference's
+// per-face winding (corner order a, b, d, c of the face loop).
+static void root_quads(OQuad out[6]) {
+    V3d c[8];
+    int k = 0;
+    for (int z = -1; z <= 1; z += 2)
+        for (int y = -1; y <= 1; y += 2)
+            for (int x = -1; x <= 1; x += 2)
+                c[k++] = normalize(v3(0, 0, 0) + v3((double)x, (double)y, (double)z)) * kRadius;
+    // index mapping for the loop order above: (x,y,z) -> bit0=x+, bit1=y+, bit2=z+
+    // reference vertex numbering: 0:(-1,-1,-1) 1:(1,-1,-1) 2:(1,1,-1) 3:(-1,1,-1)
+    //                             4:(-1,-1,1) 5:(1,-1,1) 6:(1,1,1) 7:(-1,1,1)
+    int map[8] = {0, 1, 3, 2, 4, 5, 7, 6};
+    V3d vts[8];
+    for (int i = 0; i < 8; i++) vts[map[i]] = c[i];
+
+    int faces[6][4] = {
+        {0, 1, 2, 3},  // front
+        {1, 5, 6, 2},  // right
+        {5, 4, 7, 6},  // back
+        {4, 0, 3, 7},  // left
+        {3, 2, 6, 7},  // top
+        {4, 5, 1, 0},  // bottom
+    };
+    for (int f = 0; f < 6; f++) {
+        // (a, b, d, c): third and fourth swapped relative to the loop
+        out[f].p[0] = vts[faces[f][0]];
+        out[f].p[1] = vts[faces[f][1]];
+        out[f].p[2] = vts[faces[f][3]];
+        out[f].p[3] = vts[faces[f][2]];
+        out[f].id = root_id((uint64_t)f);
+    }
+}
+
+// Children of a quad: edge midpoints and center re-projected to the sphere.
+static void subdivide(const OQuad &q, OQuad out[4]) {
+    V3d mid = normalize(q.p[0] + q.p[1] + q.p[2] + q.p[3]) * kRadius;
+    V3d e01 = normalize(q.p[0] + q.p[1]) * kRadius;
+    V3d e02 = normalize(q.p[0] + q.p[2]) * kRadius;
+    V3d e13 = normalize(q.p[1] + q.p[3]) * kRadius;
+    V3d e23 = normalize(q.p[2] + q.p[3]) * kRadius;
+    V3d g[9] = { q.p[0], e01, q.p[1], e02, mid, e13, q.p[2], e23, q.p[3] };
+    int sel[4][4] = { {0,1,3,4}, {1,2,4,5}, {3,4,6,7}, {4,5,7,8} };
+    for (int ci = 0; ci < 4; ci++) {
+        for (int j = 0; j < 4; j++) out[ci].p[j] = g[sel[ci][j]];
+        out[ci].id = child_id(q.id, (uint64_t)ci);
+    }
+}
+
+// LOD refinement (reference ProcessQuad, main.cpp:537-598).
+static void refine(const OQuad &q, V3d cam, int lod,
+                   std::vector<OQuad> &leaves) {
+    if (lod == 0) { leaves.push_back(q); return; }
+
+    V3d mid_n = normalize(q.p[0] + q.p[1] + q.p[2] + q.p[3]);
+    V3d mid = mid_n * kRadius;
+
+    V3d probes[5];
+    for (int i = 0; i < 4; i++) {
+        float h = terrain_height(q.p[i], 0, 1);
+        probes[i] = q.p[i] + normalize(q.p[i]) * (double)h;
+    }
+    float hm = terrain_height(mid, 0, 1);
+    probes[4] = mid + mid_n * (double)hm;
+
+    V3d d30 = probes[3] - probes[0];
+    V3d d21 = probes[2] - probes[1];
+    double d = (dot(d30, d30) + dot(d21, d21)) / (1.0 + 2.5 * lod / kMaxLod);
+
+    bool split = false;
+    for (int i = 0; i < 5; i++) {
+        V3d dc = probes[i] - cam;
+        if (dot(dc, dc) * 2.0 < d) { split = true; break; }
+    }
+    if (!split) { leaves.push_back(q); return; }
+
+    OQuad kids[4];
+    subdivide(q, kids);
+    for (int i = 0; i < 4; i++) refine(kids[i], cam, lod - 1, leaves);
+}
+
+// Tile rasterization (reference GenerateHeightMap, main.cpp:123-151).
+static void gen_tile(const OQuad &q, int dim, int max_depth, float *out) {
+    int depth = (int)id_depth(q.id);
+    V3d du0 = q.p[1] - q.p[0];
+    V3d du1 = q.p[3] - q.p[2];
+    double div = 1.0 / (dim - 3);
+    for (int y = 0; y < dim; y++) {
+        for (int x = 0; x < dim; x++) {
+            double u = (x - 1) * div;
+            double v = (y - 1) * div;
+            V3d a = q.p[0] + du0 * u;
+            V3d b = q.p[2] + du1 * u;
+            V3d dv = b - a;
+            V3d p = a + dv * v;
+            out[y * dim + x] = terrain_height(p, depth, max_depth);
+        }
+    }
+}
+
+// ----------------------------------------------------------------- goldens
+
+int main(int argc, char **argv) {
+    if (argc < 2) { fprintf(stderr, "usage: oracle OUT_DIR\n"); return 1; }
+    std::string dir = argv[1];
+    dir += "/";
+
+    // 1. raw noise at unit scale, including negative coords
+    {
+        Rng rng(0x9E3779B97F4A7C15ULL);
+        const size_t N = 4096;
+        std::vector<double> pts(N * 3);
+        std::vector<float> vals(N);
+        for (size_t i = 0; i < N * 3; i++) pts[i] = rng.range(-70.0, 70.0);
+        for (size_t i = 0; i < N; i++)
+            vals[i] = noise3(pts[3*i], pts[3*i+1], pts[3*i+2]);
+        npy_f64(dir + "pts_unit.npy", {N, 3}, pts);
+        npy_f32(dir + "perlin3_unit.npy", {N}, vals);
+    }
+
+    // 2. special boundary points
+    {
+        double sp[] = {0.0, -0.0, 1.0, -1.0, -2.0, 2.0, 0.5, -0.5, 2.5, -2.5,
+                       255.25, 256.75, -255.25, -256.75, 1e-9, -1e-9,
+                       1.9999999, -1.9999999, 63.999999, -63.999999};
+        const size_t K = sizeof(sp) / sizeof(sp[0]);
+        std::vector<double> pts;
+        std::vector<float> vals;
+        for (size_t i = 0; i < K; i++)
+            for (size_t j = 0; j < K; j++) {
+                double x = sp[i], y = sp[j], z = sp[(i + j) % K];
+                pts.push_back(x); pts.push_back(y); pts.push_back(z);
+                vals.push_back(noise3(x, y, z));
+            }
+        npy_f64(dir + "pts_special.npy", {K * K, 3}, pts);
+        npy_f32(dir + "perlin3_special.npy", {K * K}, vals);
+    }
+
+    // 3. octave wrappers
+    {
+        Rng rng(0xA5A5A5A55A5A5A5AULL);
+        const size_t N = 2048;
+        std::vector<double> pts(N * 3);
+        for (size_t i = 0; i < N * 3; i++) pts[i] = rng.range(-64.0, 64.0);
+        npy_f64(dir + "pts_fbm.npy", {N, 3}, pts);
+
+        std::vector<float> a(N), b(N), c(N), d(N), e(N);
+        for (size_t i = 0; i < N; i++) {
+            double x = pts[3*i], y = pts[3*i+1], z = pts[3*i+2];
+            a[i] = fbm(x, y, z, 2.0, 0.5f, 4);
+            b[i] = fbm(x, y, z, 2.0, 0.55f, 6);
+            c[i] = ridged(x, y, z, 2.0, 0.55f, 6);
+            d[i] = ridged(x, y, z, 2.0, 0.55f, 18);
+            e[i] = fbm(x, y, z, 1.7, 0.5f, 5);
+        }
+        npy_f32(dir + "fbm_o4_g05.npy", {N}, a);
+        npy_f32(dir + "fbm_o6_g055.npy", {N}, b);
+        npy_f32(dir + "ridged_o6_g055.npy", {N}, c);
+        npy_f32(dir + "ridged_o18_g055.npy", {N}, d);
+        npy_f32(dir + "fbm_lac17_o5.npy", {N}, e);
+    }
+
+    // 4. terrain functor at planet scale
+    {
+        Rng rng(0x1234567812345678ULL);
+        const size_t N = 1024;
+        std::vector<double> pts(N * 3);
+        std::vector<float> h0(N), h6(N), h18(N);
+        for (size_t i = 0; i < N; i++) {
+            V3d dirv = normalize(v3(rng.range(-1, 1), rng.range(-1, 1), rng.range(-1, 1)));
+            double r = rng.range(6.3e6, 6.4e6);
+            V3d p = dirv * r;
+            pts[3*i] = p.x; pts[3*i+1] = p.y; pts[3*i+2] = p.z;
+            h0[i] = terrain_height(p, 0, 1);
+            h6[i] = terrain_height(p, 6, 18);
+            h18[i] = terrain_height(p, 18, 18);
+        }
+        npy_f64(dir + "pts_sphere.npy", {N, 3}, pts);
+        npy_f32(dir + "terrain_d0_md1.npy", {N}, h0);
+        npy_f32(dir + "terrain_d6_md18.npy", {N}, h6);
+        npy_f32(dir + "terrain_d18_md18.npy", {N}, h18);
+    }
+
+    // 5. heightmap tiles along deterministic quadtree paths
+    {
+        Rng rng(0xDEADBEEFCAFEF00DULL);
+        OQuad roots[6];
+        root_quads(roots);
+
+        const int dim = 32;
+        std::vector<int64_t> paths;       // (T, 1+18): root, then digits, -1 pad
+        std::vector<double> corners;      // (T, 4, 3)
+        std::vector<float> tiles;         // (T, dim, dim)
+        std::vector<uint64_t> ids;
+        size_t T = 0;
+
+        for (int depth = 0; depth <= kMaxLod; depth++) {
+            int reps = depth == 0 ? 6 : 2;
+            for (int r = 0; r < reps; r++) {
+                uint64_t face = depth == 0 ? (uint64_t)r : rng.below(6);
+                OQuad q = roots[face];
+                paths.push_back((int64_t)face);
+                for (int d = 0; d < kMaxLod; d++) {
+                    if (d < depth) {
+                        uint64_t ci = rng.below(4);
+                        OQuad kids[4];
+                        subdivide(q, kids);
+                        q = kids[ci];
+                        paths.push_back((int64_t)ci);
+                    } else {
+                        paths.push_back(-1);
+                    }
+                }
+                for (int j = 0; j < 4; j++) {
+                    corners.push_back(q.p[j].x);
+                    corners.push_back(q.p[j].y);
+                    corners.push_back(q.p[j].z);
+                }
+                std::vector<float> tile(dim * dim);
+                gen_tile(q, dim, kMaxLod, tile.data());
+                tiles.insert(tiles.end(), tile.begin(), tile.end());
+                ids.push_back(q.id.v);
+                T++;
+            }
+        }
+        npy_i64(dir + "tile_paths.npy", {T, (size_t)(1 + kMaxLod)}, paths);
+        npy_f64(dir + "tile_corners.npy", {T, 4, 3}, corners);
+        npy_f32(dir + "tiles32.npy", {T, (size_t)dim, (size_t)dim}, tiles);
+        npy_u64(dir + "tile_ids.npy", {T}, ids);
+    }
+
+    // 6. LOD refinement leaf sets for fixed cameras
+    {
+        double cams[][3] = {
+            {0.0, 0.0, -(kRadius + 10.0)},
+            {0.0, 0.0, -(kRadius + 5000.0)},
+            {0.0, 0.0, -3.0 * kRadius},
+            {kRadius * 0.8, kRadius * 0.75, kRadius * 0.3},
+        };
+        const size_t C = sizeof(cams) / sizeof(cams[0]);
+        std::vector<double> cam_flat;
+        std::vector<int64_t> counts;
+        std::vector<uint64_t> all_ids;
+
+        OQuad roots[6];
+        root_quads(roots);
+        for (size_t c = 0; c < C; c++) {
+            V3d cam = v3(cams[c][0], cams[c][1], cams[c][2]);
+            cam_flat.push_back(cam.x); cam_flat.push_back(cam.y); cam_flat.push_back(cam.z);
+            std::vector<OQuad> leaves;
+            for (int f = 0; f < 6; f++) refine(roots[f], cam, kMaxLod, leaves);
+            counts.push_back((int64_t)leaves.size());
+            for (auto &q : leaves) all_ids.push_back(q.id.v);
+        }
+        npy_f64(dir + "lod_cams.npy", {C, 3}, cam_flat);
+        npy_i64(dir + "lod_leaf_counts.npy", {C}, counts);
+        npy_u64(dir + "lod_leaf_ids.npy", {all_ids.size()}, all_ids);
+    }
+
+    printf("oracle: goldens written\n");
+    return 0;
+}

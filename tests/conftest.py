@@ -1,0 +1,22 @@
+"""Test configuration: run everything on CPU with a fake 8-device mesh.
+
+The reference test strategy (SURVEY.md section 4) calls for multi-chip tests
+without a cluster: we force the host platform and fake 8 XLA devices so
+sharding/halo tests can assert sharded == unsharded. x64 is enabled so the
+float64 reference implementations (the parity spec) are available; all
+production code in planet_tpu is dtype-explicit and works with or without x64.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# The axon TPU plugin prepends itself to jax_platforms regardless of the
+# JAX_PLATFORMS env var, so force CPU via config (must happen before any
+# backend is initialized).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
