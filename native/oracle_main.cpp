@@ -309,6 +309,78 @@ static void gen_tile(const OQuad &q, int dim, int max_depth, float *out) {
     }
 }
 
+// ------------------------------------------------- tessellation (f32 spec)
+//
+// Scalar restatement of the vertex program specified by the reference's
+// embedded GLSL (main.cpp:286-367) and fragment shade (main.cpp:369-381),
+// in float like the GPU: slerp corner interpolation with linear fallback,
+// bilinear CLAMP_TO_EDGE tile sampling, central-difference normals + TBN,
+// camera-relative clip transform.
+
+struct V3f { float x, y, z; };
+static inline V3f v3f(float x, float y, float z) { return {x, y, z}; }
+static inline V3f operator+(V3f a, V3f b) { return {a.x+b.x, a.y+b.y, a.z+b.z}; }
+static inline V3f operator-(V3f a, V3f b) { return {a.x-b.x, a.y-b.y, a.z-b.z}; }
+static inline V3f operator*(V3f a, float s) { return {a.x*s, a.y*s, a.z*s}; }
+static inline float dotf(V3f a, V3f b) { return a.x*b.x + a.y*b.y + a.z*b.z; }
+static inline float lenf(V3f a) { return sqrtf(dotf(a, a)); }
+static inline V3f normf(V3f a) { float l = lenf(a); return {a.x/l, a.y/l, a.z/l}; }
+static inline V3f crossf(V3f a, V3f b) {
+    return {a.y*b.z - a.z*b.y, a.z*b.x - a.x*b.z, a.x*b.y - a.y*b.x};
+}
+static inline float lerpf(float a, float b, float t) { return a + (b - a) * t; }
+static inline V3f lerpv(V3f a, V3f b, float t) { return a + (b - a) * t; }
+
+struct PN { V3f p, n; };
+
+static PN interp_pn(PN v0, PN v1, float t) {
+    if (1.0f - dotf(v0.n, v1.n) < 0.001f) {
+        return { lerpv(v0.p, v1.p, t), normf(lerpv(v0.n, v1.n, t)) };
+    }
+    float theta2 = acosf(dotf(v0.n, v1.n));
+    float k = 1.0f - t;
+    V3f n = normf(v0.n * sinf(k * theta2) + v1.n * sinf(t * theta2));
+    float theta = theta2 * 0.5f;
+    float gamma = theta - theta2 * t;
+    float tan_theta = tanf(theta);
+    float x = 1.0f - tanf(gamma) / tan_theta;
+    float y = 1.0f / sinf(theta) - 1.0f / (cosf(gamma) * tan_theta);
+    V3f v = (v1.p - v0.p) * 0.5f;
+    V3f p = v0.p + v * x + n * (y * lenf(v));
+    return { p, n };
+}
+
+static float tile_sample(const float *tile, int dim, float u, float v) {
+    // GL_LINEAR + CLAMP_TO_EDGE, texel centers at (i + 0.5) / dim
+    float su = u * dim - 0.5f, sv = v * dim - 0.5f;
+    float fu = floorf(su), fv = floorf(sv);
+    float ax = su - fu, ay = sv - fv;
+    int x0 = (int)fu, y0 = (int)fv;
+    int x1 = x0 + 1, y1 = y0 + 1;
+    if (x0 < 0) x0 = 0; if (x0 > dim-1) x0 = dim-1;
+    if (x1 < 0) x1 = 0; if (x1 > dim-1) x1 = dim-1;
+    if (y0 < 0) y0 = 0; if (y0 > dim-1) y0 = dim-1;
+    if (y1 < 0) y1 = 0; if (y1 > dim-1) y1 = dim-1;
+    float t00 = tile[y0*dim + x0], t10 = tile[y0*dim + x1];
+    float t01 = tile[y1*dim + x0], t11 = tile[y1*dim + x1];
+    return lerpf(lerpf(t00, t10, ax), lerpf(t01, t11, ax), ay);
+}
+
+typedef float M4[4][4];   // math row-major: out = M @ v
+
+static void mat4_mulv(const M4 m, const float v[4], float out[4]) {
+    for (int r = 0; r < 4; r++)
+        out[r] = m[r][0]*v[0] + m[r][1]*v[1] + m[r][2]*v[2] + m[r][3]*v[3];
+}
+
+static void mat4_mul(const M4 a, const M4 b, M4 out) {
+    for (int r = 0; r < 4; r++)
+        for (int c = 0; c < 4; c++) {
+            out[r][c] = 0.0f;
+            for (int k = 0; k < 4; k++) out[r][c] += a[r][k]*b[k][c];
+        }
+}
+
 // ----------------------------------------------------------------- goldens
 
 int main(int argc, char **argv) {
@@ -466,6 +538,203 @@ int main(int argc, char **argv) {
         npy_f64(dir + "lod_cams.npy", {C, 3}, cam_flat);
         npy_i64(dir + "lod_leaf_counts.npy", {C}, counts);
         npy_u64(dir + "lod_leaf_ids.npy", {all_ids.size()}, all_ids);
+    }
+
+    // 7. tessellation vertex-program goldens
+    {
+        const int dim = 32;
+        const int n = 30;                 // patch_size_in_verts
+        const int nverts = n*n + 4*n;     // 1020
+
+        // deterministic quad set: fixed paths at several depths
+        const int T = 5;
+        int depths[T] = {0, 2, 6, 10, 16};
+        int digits[T][16] = {
+            {},
+            {3, 0},
+            {0, 1, 2, 3, 1, 2},
+            {2, 2, 1, 0, 3, 1, 0, 2, 3, 1},
+            {1, 3, 0, 2, 1, 0, 3, 2, 1, 0, 2, 3, 0, 1, 2, 3},
+        };
+
+        OQuad roots[6];
+        root_quads(roots);
+        std::vector<OQuad> quads(T);
+        std::vector<int64_t> paths;
+        for (int t = 0; t < T; t++) {
+            OQuad q = roots[t % 6];
+            paths.push_back((int64_t)(t % 6));
+            for (int d = 0; d < 18; d++) {
+                if (d < depths[t]) {
+                    OQuad kids[4];
+                    subdivide(q, kids);
+                    q = kids[digits[t][d]];
+                    paths.push_back((int64_t)digits[t][d]);
+                } else {
+                    paths.push_back(-1);
+                }
+            }
+            quads[t] = q;
+        }
+
+        // camera above quad 0's center
+        V3d c0 = normalize(quads[2].p[0] + quads[2].p[1] +
+                           quads[2].p[2] + quads[2].p[3]);
+        V3d cam_pos = c0 * (kRadius + 2500.0);
+        float angles[3] = {0.15f, 0.6f, 0.05f};
+
+        // world rotation: base tangent frame (+Euler Y,X,Z), math row-major
+        float rot[3][3];
+        {
+            V3f up = normf(v3f((float)cam_pos.x, (float)cam_pos.y, (float)cam_pos.z));
+            V3f yaxis = v3f(0, 1, 0);
+            V3f right = (1.0f - dotf(up, yaxis) < 0.1f)
+                ? normf(crossf(up, v3f(0, 0, 1)))
+                : normf(crossf(up, yaxis));
+            V3f fwd = normf(crossf(right, up));
+            float base[3][3] = {
+                {right.x, up.x, fwd.x},
+                {right.y, up.y, fwd.y},
+                {right.z, up.z, fwd.z},
+            };
+            float sy = sinf(angles[1]), cy = cosf(angles[1]);
+            float sx = sinf(angles[0]), cx = cosf(angles[0]);
+            float sz = sinf(angles[2]), cz = cosf(angles[2]);
+            float ry[3][3] = {{cy,0,sy},{0,1,0},{-sy,0,cy}};
+            float rx[3][3] = {{1,0,0},{0,cx,-sx},{0,sx,cx}};
+            float rz[3][3] = {{cz,-sz,0},{sz,cz,0},{0,0,1}};
+            float tmp[3][3], tmp2[3][3];
+            for (int r = 0; r < 3; r++) for (int c = 0; c < 3; c++) {
+                tmp[r][c] = 0;
+                for (int k = 0; k < 3; k++) tmp[r][c] += ry[r][k]*rx[k][c];
+            }
+            for (int r = 0; r < 3; r++) for (int c = 0; c < 3; c++) {
+                tmp2[r][c] = 0;
+                for (int k = 0; k < 3; k++) tmp2[r][c] += tmp[r][k]*rz[k][c];
+            }
+            for (int r = 0; r < 3; r++) for (int c = 0; c < 3; c++) {
+                rot[r][c] = 0;
+                for (int k = 0; k < 3; k++) rot[r][c] += base[r][k]*tmp2[k][c];
+            }
+        }
+
+        M4 proj = {}, view = {}, viewproj;
+        {
+            double fovy = 50.0 * (3.14159265358979323846 / 180.0);
+            float pf = 1.0f / tanf(0.5f * (float)fovy);
+            double f = 20000000.0, nr = 1.0;
+            proj[0][0] = pf / (800.0f / 600.0f);
+            proj[1][1] = pf;
+            proj[2][2] = (float)((f + nr) / (f - nr));
+            proj[3][2] = 1.0f;
+            proj[2][3] = (float)(-2.0 * f * nr / (f - nr));
+            for (int r = 0; r < 3; r++)
+                for (int c = 0; c < 3; c++) view[r][c] = rot[c][r];  // transpose
+            view[3][3] = 1.0f;
+            mat4_mul(proj, view, viewproj);
+        }
+
+        double max_skirt = (2.0 * 3.14159265358979323846 * kRadius)
+                           / (4.0 * 29.0) * 0.00001 * 8.0 * 8848.0;
+
+        // vertex list in reference order (u, v, skirt)
+        std::vector<float> vlist;
+        {
+            double div = 1.0 / (n - 1);
+            for (int x = 0; x < n; x++) {
+                vlist.push_back((float)(x*div)); vlist.push_back(0.0f); vlist.push_back(1.0f);
+            }
+            for (int y = 0; y < n; y++) {
+                vlist.push_back(0.0f); vlist.push_back((float)(y*div)); vlist.push_back(1.0f);
+                for (int x = 0; x < n; x++) {
+                    vlist.push_back((float)(x*div)); vlist.push_back((float)(y*div)); vlist.push_back(0.0f);
+                }
+                vlist.push_back(1.0f); vlist.push_back((float)(y*div)); vlist.push_back(1.0f);
+            }
+            for (int x = 0; x < n; x++) {
+                vlist.push_back((float)(x*div)); vlist.push_back(1.0f); vlist.push_back(1.0f);
+            }
+        }
+
+        std::vector<float> Ps, Ns, tiles, skirts;
+        std::vector<float> world, normal_out, height_out, clip_out, shade_out;
+
+        for (int t = 0; t < T; t++) {
+            const OQuad &q = quads[t];
+            V3f P[4], N[4];
+            for (int j = 0; j < 4; j++) {
+                V3d rel = q.p[j] - cam_pos;
+                P[j] = v3f((float)rel.x, (float)rel.y, (float)rel.z);
+                V3d nd = normalize(q.p[j]);
+                N[j] = v3f((float)nd.x, (float)nd.y, (float)nd.z);
+                Ps.push_back(P[j].x); Ps.push_back(P[j].y); Ps.push_back(P[j].z);
+                Ns.push_back(N[j].x); Ns.push_back(N[j].y); Ns.push_back(N[j].z);
+            }
+
+            std::vector<float> tile(dim*dim);
+            gen_tile(q, dim, kMaxLod, tile.data());
+            tiles.insert(tiles.end(), tile.begin(), tile.end());
+
+            float skirt = (float)max_skirt;
+            int d1 = depths[t] - 1;
+            if (d1 > 0) skirt /= (float)(2 << d1);
+            skirts.push_back(skirt);
+
+            float c0u = 1.5f / dim, c1u = (dim - 1.5f) / dim;
+            float px = 1.0f / dim, py = 1.0f / dim;
+            V3f l = normf(v3f(0.0f, 1.0f, -1.0f));
+
+            for (int vi = 0; vi < nverts; vi++) {
+                float u = vlist[vi*3], v = vlist[vi*3+1], s = vlist[vi*3+2];
+                PN a = {P[0], N[0]}, b = {P[1], N[1]};
+                PN c = {P[2], N[2]}, d = {P[3], N[3]};
+                PN p = interp_pn(a, b, u);
+                PN qq = interp_pn(c, d, u);
+                PN vv = interp_pn(p, qq, v);
+
+                float tu = lerpf(c0u, c1u, u);
+                float tv = lerpf(c0u, c1u, v);
+                float h = tile_sample(tile.data(), dim, tu, tv) - skirt * s;
+                float x0 = tile_sample(tile.data(), dim, tu - px, tv);
+                float x1 = tile_sample(tile.data(), dim, tu + px, tv);
+                float y0 = tile_sample(tile.data(), dim, tu, tv - py);
+                float y1 = tile_sample(tile.data(), dim, tu, tv + py);
+                float xyscale = lenf(qq.p - p.p) / 29.0f;
+                V3f ntan = normf(v3f(x0 - x1, 2.0f * xyscale, y0 - y1));
+                V3f tv3 = normf(crossf(vv.n, qq.p - p.p));
+                V3f bi = normf(crossf(tv3, vv.n));
+                V3f nrm = normf(tv3 * ntan.x + vv.n * ntan.y + bi * ntan.z);
+                V3f wp = vv.p + vv.n * h;
+                float v4[4] = {wp.x, wp.y, wp.z, 1.0f}, clip[4];
+                mat4_mulv(viewproj, v4, clip);
+                float light = 0.001f + fmaxf(0.0f, dotf(normf(nrm), l));
+
+                world.push_back(wp.x); world.push_back(wp.y); world.push_back(wp.z);
+                normal_out.push_back(nrm.x); normal_out.push_back(nrm.y); normal_out.push_back(nrm.z);
+                height_out.push_back(h);
+                for (int k2 = 0; k2 < 4; k2++) clip_out.push_back(clip[k2]);
+                shade_out.push_back(sqrtf(light));
+            }
+        }
+
+        std::vector<double> camv = {cam_pos.x, cam_pos.y, cam_pos.z};
+        std::vector<float> vp_flat, rot_flat;
+        for (int r = 0; r < 4; r++) for (int c = 0; c < 4; c++) vp_flat.push_back(viewproj[r][c]);
+        for (int r = 0; r < 3; r++) for (int c = 0; c < 3; c++) rot_flat.push_back(rot[r][c]);
+
+        npy_i64(dir + "tess_paths.npy", {(size_t)T, 19}, paths);
+        npy_f64(dir + "tess_cam.npy", {3}, camv);
+        npy_f32(dir + "tess_rot.npy", {3, 3}, rot_flat);
+        npy_f32(dir + "tess_viewproj.npy", {4, 4}, vp_flat);
+        npy_f32(dir + "tess_P.npy", {(size_t)T, 4, 3}, Ps);
+        npy_f32(dir + "tess_N.npy", {(size_t)T, 4, 3}, Ns);
+        npy_f32(dir + "tess_tiles.npy", {(size_t)T, (size_t)dim, (size_t)dim}, tiles);
+        npy_f32(dir + "tess_skirt.npy", {(size_t)T}, skirts);
+        npy_f32(dir + "tess_world.npy", {(size_t)T, (size_t)nverts, 3}, world);
+        npy_f32(dir + "tess_normal.npy", {(size_t)T, (size_t)nverts, 3}, normal_out);
+        npy_f32(dir + "tess_height.npy", {(size_t)T, (size_t)nverts}, height_out);
+        npy_f32(dir + "tess_clip.npy", {(size_t)T, (size_t)nverts, 4}, clip_out);
+        npy_f32(dir + "tess_shade.npy", {(size_t)T, (size_t)nverts}, shade_out);
     }
 
     printf("oracle: goldens written\n");
