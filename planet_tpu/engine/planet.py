@@ -1,0 +1,199 @@
+"""The planet engine: per-frame orchestration (reference RenderPlanet,
+main.cpp:600-683, and InitPlanet, main.cpp:280-516).
+
+A frame is:
+  1. host: LOD refinement against the camera (lod.refine — exact reference
+     leaf sets in DFS order),
+  2. host: tile-cache resolution with the generation budget + parent-crop
+     fallback (cache.tile_pool — reference GetHeightMapForQuad policy),
+  3. device: batched tile generation, grouped by octave count so each Pallas
+     noise launch runs with a static octave unroll,
+  4. device: one fused tessellate+shade program over all leaves (the entire
+     per-quad GL draw loop of the reference becomes one XLA program),
+  5. stats (the reference's title-bar quartet + texel throughput).
+
+Host<->device traffic per frame: leaf corners down (f32/f64 pairs, ~100 KB),
+nothing back except optional framebuffer reads — tiles live in the device
+pool between frames.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from planet_tpu.cache.tile_pool import TilePool
+from planet_tpu.engine.config import EngineConfig
+from planet_tpu.geom import camera as cam_mod
+from planet_tpu.lod import refine as lod_refine
+from planet_tpu.nums import df as dfm
+from planet_tpu.ops import heightmap
+from planet_tpu.ops import perlin
+from planet_tpu.ops.kernels import perlin_pallas
+from planet_tpu.raster import shade as shade_mod
+from planet_tpu.tess import mesh, vertex
+
+
+@dataclasses.dataclass
+class FrameStats:
+    """The reference's live metrics (main.cpp:1030-1037) + texels/s."""
+
+    frametime_ms: float
+    fps: float
+    tris: int
+    quads: int
+    tiles_generated: int
+    texels_generated: int
+
+
+@dataclasses.dataclass
+class FrameOutput:
+    vertices: vertex.PatchVertices    # (L_pad, G, G, ...) device arrays
+    vertex_shade: jnp.ndarray         # (L_pad, G, G)
+    leaf_ids: np.ndarray              # (L,) uint64
+    leaf_depths: np.ndarray           # (L,) int32
+    n_leaves: int
+    stats: FrameStats
+
+
+def _pad_to(n: int, m: int) -> int:
+    return max(m, -(-n // m) * m)
+
+
+@functools.lru_cache(maxsize=None)
+def _gen_tiles_fn(octaves: int, dim: int, lacunarity: float, gain: float,
+                  coord_scale: float, amplitude: float, use_pallas: bool):
+    """Jitted tile generator for one octave group: DF corners -> tiles."""
+
+    def fn(c_hi, c_lo):                     # (N, 4, 3) f32 pairs
+        def one(ch, cl):
+            return heightmap.tile_points_df(ch, cl, dim)
+        px, py, pz = jax.vmap(one)(c_hi, c_lo)    # DF (N, dim, dim) each
+        scale = dfm.from_f64(np.float64(coord_scale))
+        px = dfm.mul(px, scale)
+        py = dfm.mul(py, scale)
+        pz = dfm.mul(pz, scale)
+        if use_pallas:
+            h = perlin_pallas.noise_df(
+                "ridged", px.hi, px.lo, py.hi, py.lo, pz.hi, pz.lo,
+                lacunarity=lacunarity, gain=np.float32(gain), octaves=octaves)
+        else:
+            h = perlin.ridged_df(px, py, pz, lacunarity=lacunarity,
+                                 gain=np.float32(gain), octaves=octaves)
+        return h * np.float32(amplitude)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _tess_shade_fn():
+    def fn(pool_tiles, slots, corners_rel, normals, rect_lo, rect_hi,
+           pixel_size, skirt, view_proj):
+        tiles = jnp.take(pool_tiles, slots, axis=0)
+        pv = vertex.tessellate(corners_rel, normals, tiles, rect_lo, rect_hi,
+                               pixel_size, skirt, view_proj)
+        return pv, shade_mod.lambert(pv.normal)
+
+    return jax.jit(fn)
+
+
+class PlanetEngine:
+    """Stateful engine: tile pool + render tick (the only mutable state
+    besides the camera, which the caller owns — reference Planet struct,
+    main.cpp:161-181)."""
+
+    def __init__(self, config: EngineConfig = EngineConfig(),
+                 height_fn=None):
+        self.config = config
+        self.pool = TilePool(capacity=config.cache_capacity,
+                             dim=config.tile_dim)
+        self._height_fn = height_fn     # host probe override (tests)
+        c = config
+        pf = cam_mod.proj_factor_from_fovy(np.deg2rad(c.fovy_deg))
+        self.proj = cam_mod.perspective_lh(
+            pf, c.window_w / c.window_h, c.near_plane, c.far_plane)
+
+    # ----------------------------------------------------------------- frame
+
+    def frame(self, camera: cam_mod.Camera) -> FrameOutput:
+        t0 = time.perf_counter()
+        c = self.config
+
+        rot = cam_mod.camera_rotation(camera)
+        view_proj = (self.proj @ cam_mod.view_from_rotation(rot)).astype(np.float32)
+
+        # 1. refinement (host, exact reference leaf sets in DFS order)
+        res = lod_refine.refine(camera.position, c.max_lod, c.radius,
+                                height_fn=self._height_fn)
+        n = len(res.ids)
+
+        # 2. cache policy
+        resolved = self.pool.resolve(res.ids, c.generations_per_frame)
+
+        # 3. generation, grouped by octave count (static unroll per launch)
+        texels = 0
+        gen_idx = np.nonzero(resolved.generate_mask)[0]
+        if len(gen_idx):
+            depths = res.depths[gen_idx]
+            octs = np.array([c.octaves_for_depth(d) for d in depths])
+            for o in np.unique(octs):
+                sel = gen_idx[octs == o]
+                corners = res.corners[sel]                  # (K, 4, 3) f64
+                k_pad = _pad_to(len(sel), c.gen_pad)
+                pad = k_pad - len(sel)
+                if pad:
+                    corners = np.concatenate(
+                        [corners, np.repeat(corners[-1:], pad, 0)], 0)
+                ch, cl = dfm.from_f64(corners)
+                tiles = _gen_tiles_fn(
+                    int(o), c.tile_dim, c.lacunarity, float(np.float32(c.gain)),
+                    c.coord_scale, c.amplitude, c.use_pallas)(ch, cl)
+                self.pool.store(resolved.slot[sel], tiles[:len(sel)])
+                texels += len(sel) * c.tile_dim * c.tile_dim
+
+        # 4. tessellate + shade (one fused launch over all leaves, padded)
+        l_pad = _pad_to(n, c.leaf_pad)
+
+        def pad_rows(a, value=None):
+            if len(a) == l_pad:
+                return a
+            reps = np.repeat(a[-1:] if value is None else value,
+                             l_pad - len(a), 0)
+            return np.concatenate([a, reps], 0)
+
+        corners_rel = pad_rows(
+            (res.corners - camera.position[None, None, :]).astype(np.float32))
+        normals = pad_rows(
+            lod_refine._normalize_rows(res.corners).astype(np.float32))
+        skirt = pad_rows(np.array(
+            [c.skirt_size_for_depth(d) for d in res.depths], np.float32))
+        slots = pad_rows(resolved.slot.astype(np.int32))
+        rect_lo = pad_rows(resolved.rect_lo)
+        rect_hi = pad_rows(resolved.rect_hi)
+        pix = pad_rows(resolved.pixel_size)
+
+        pv, vshade = _tess_shade_fn()(
+            self.pool.tiles, jnp.asarray(slots), jnp.asarray(corners_rel),
+            jnp.asarray(normals), jnp.asarray(rect_lo), jnp.asarray(rect_hi),
+            jnp.asarray(pix), jnp.asarray(skirt), jnp.asarray(view_proj))
+
+        self.pool.end_frame()
+
+        dt = time.perf_counter() - t0
+        stats = FrameStats(
+            frametime_ms=dt * 1e3,
+            fps=1.0 / max(dt, 1e-9),
+            tris=n * mesh.interior_triangle_count(c.patch_verts),
+            quads=n,
+            tiles_generated=int(resolved.generated),
+            texels_generated=texels,
+        )
+        return FrameOutput(vertices=pv, vertex_shade=vshade,
+                           leaf_ids=res.ids, leaf_depths=res.depths,
+                           n_leaves=n, stats=stats)
