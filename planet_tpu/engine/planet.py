@@ -35,7 +35,7 @@ from planet_tpu.lod import refine as lod_refine
 from planet_tpu.nums import df as dfm
 from planet_tpu.ops import heightmap
 from planet_tpu.ops import perlin
-from planet_tpu.ops.kernels import perlin_pallas
+from planet_tpu.ops.kernels import tile_pallas
 from planet_tpu.raster import shade as shade_mod
 from planet_tpu.tess import mesh, vertex
 
@@ -69,23 +69,26 @@ def _pad_to(n: int, m: int) -> int:
 @functools.lru_cache(maxsize=None)
 def _gen_tiles_fn(octaves: int, dim: int, lacunarity: float, gain: float,
                   coord_scale: float, amplitude: float, use_pallas: bool):
-    """Jitted tile generator for one octave group: DF corners -> tiles."""
+    """Jitted tile generator for one octave group.
 
-    def fn(c_hi, c_lo):                     # (N, 4, 3) f32 pairs
+    use_pallas: the fused tile kernel (corners pre-scaled by coord_scale on
+    the host; bilinear + noise + amplitude in one launch). Otherwise the XLA
+    composition (CPU tests)."""
+
+    if use_pallas:
+        def fn(c_hi, c_lo):                 # pre-scaled (N, 4, 3) f32 pairs
+            return tile_pallas.generate_tiles(
+                c_hi, c_lo, kind="ridged", octaves=octaves,
+                lacunarity=lacunarity, gain=np.float32(gain),
+                amplitude=amplitude, dim=dim)
+        return jax.jit(fn)
+
+    def fn(c_hi, c_lo):                     # pre-scaled (N, 4, 3) f32 pairs
         def one(ch, cl):
             return heightmap.tile_points_df(ch, cl, dim)
         px, py, pz = jax.vmap(one)(c_hi, c_lo)    # DF (N, dim, dim) each
-        scale = dfm.from_f64(np.float64(coord_scale))
-        px = dfm.mul(px, scale)
-        py = dfm.mul(py, scale)
-        pz = dfm.mul(pz, scale)
-        if use_pallas:
-            h = perlin_pallas.noise_df(
-                "ridged", px.hi, px.lo, py.hi, py.lo, pz.hi, pz.lo,
-                lacunarity=lacunarity, gain=np.float32(gain), octaves=octaves)
-        else:
-            h = perlin.ridged_df(px, py, pz, lacunarity=lacunarity,
-                                 gain=np.float32(gain), octaves=octaves)
+        h = perlin.ridged_df(px, py, pz, lacunarity=lacunarity,
+                             gain=np.float32(gain), octaves=octaves)
         return h * np.float32(amplitude)
 
     return jax.jit(fn)
@@ -144,7 +147,8 @@ class PlanetEngine:
             octs = np.array([c.octaves_for_depth(d) for d in depths])
             for o in np.unique(octs):
                 sel = gen_idx[octs == o]
-                corners = res.corners[sel]                  # (K, 4, 3) f64
+                # host f64 pre-scale into noise space (exact to DF precision)
+                corners = res.corners[sel] * c.coord_scale  # (K, 4, 3) f64
                 k_pad = _pad_to(len(sel), c.gen_pad)
                 pad = k_pad - len(sel)
                 if pad:

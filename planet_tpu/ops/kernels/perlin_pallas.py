@@ -191,50 +191,57 @@ def _df_scale(xhi, xlo, chi, clo):
     return hi, lo
 
 
-def _make_kernel(kind: str, octaves: int, lacunarity: float, gain: float):
+def accumulate_octaves(kind: str, octaves: int, lacunarity: float, gain,
+                       tlo_ref, thi_ref, plo_ref, phi_ref,
+                       xh, xl, yh, yl, zh, zl):
+    """The multi-octave fBm/ridged accumulation over double-float coordinate
+    blocks — shared by the flat noise kernel and the fused tile kernel."""
     gain = np.float32(gain)
     freqs = _freq_consts(lacunarity, octaves)
     pow2 = float(lacunarity) == 2.0
 
+    value = jnp.zeros_like(xh)
+    weight = None if kind == "fbm" else jnp.ones_like(xh)
+    amplitude = np.float32(1.0)
+
+    for i in range(octaves):
+        if pow2:
+            s = np.float32(2.0) ** i     # exact
+            oxh, oxl = xh * s, xl * s
+            oyh, oyl = yh * s, yl * s
+            ozh, ozl = zh * s, zl * s
+        else:
+            chi, clo = freqs[i]
+            oxh, oxl = _df_scale(xh, xl, chi, clo)
+            oyh, oyl = _df_scale(yh, yl, chi, clo)
+            ozh, ozl = _df_scale(zh, zl, chi, clo)
+
+        cx, fx, fxm1 = _floor_split(oxh, oxl)
+        cy, fy, fym1 = _floor_split(oyh, oyl)
+        cz, fz, fzm1 = _floor_split(ozh, ozl)
+
+        n = _noise3_core(tlo_ref, thi_ref, plo_ref, phi_ref,
+                         cx, fx, fxm1, cy, fy, fym1, cz, fz, fzm1)
+
+        if kind == "fbm":
+            value = value + n * amplitude
+        else:   # ridged (main.cpp:721-731): unclamped weight feedback
+            v = np.float32(1.0) - jnp.abs(n)
+            v = v * v
+            value = value + v * amplitude * weight
+            weight = v
+        amplitude = amplitude * gain
+
+    return value
+
+
+def _make_kernel(kind: str, octaves: int, lacunarity: float, gain: float):
     def kernel(xh_ref, xl_ref, yh_ref, yl_ref, zh_ref, zl_ref,
                tlo_ref, thi_ref, plo_ref, phi_ref, out_ref):
-        xh, xl = xh_ref[:], xl_ref[:]
-        yh, yl = yh_ref[:], yl_ref[:]
-        zh, zl = zh_ref[:], zl_ref[:]
-
-        value = jnp.zeros_like(xh)
-        weight = None if kind == "fbm" else jnp.ones_like(xh)
-        amplitude = np.float32(1.0)
-
-        for i in range(octaves):
-            if pow2:
-                s = np.float32(2.0) ** i     # exact
-                oxh, oxl = xh * s, xl * s
-                oyh, oyl = yh * s, yl * s
-                ozh, ozl = zh * s, zl * s
-            else:
-                chi, clo = freqs[i]
-                oxh, oxl = _df_scale(xh, xl, chi, clo)
-                oyh, oyl = _df_scale(yh, yl, chi, clo)
-                ozh, ozl = _df_scale(zh, zl, chi, clo)
-
-            cx, fx, fxm1 = _floor_split(oxh, oxl)
-            cy, fy, fym1 = _floor_split(oyh, oyl)
-            cz, fz, fzm1 = _floor_split(ozh, ozl)
-
-            n = _noise3_core(tlo_ref, thi_ref, plo_ref, phi_ref,
-                             cx, fx, fxm1, cy, fy, fym1, cz, fz, fzm1)
-
-            if kind == "fbm":
-                value = value + n * amplitude
-            else:   # ridged (main.cpp:721-731): unclamped weight feedback
-                v = np.float32(1.0) - jnp.abs(n)
-                v = v * v
-                value = value + v * amplitude * weight
-                weight = v
-            amplitude = amplitude * gain
-
-        out_ref[:] = value
+        out_ref[:] = accumulate_octaves(
+            kind, octaves, lacunarity, gain,
+            tlo_ref, thi_ref, plo_ref, phi_ref,
+            xh_ref[:], xl_ref[:], yh_ref[:], yl_ref[:], zh_ref[:], zl_ref[:])
 
     return kernel
 

@@ -1,0 +1,183 @@
+"""Fully fused heightmap-tile kernel: quad corners -> 32x32 height tiles.
+
+One Pallas launch performs the reference's entire GenerateHeightMap hot loop
+(main.cpp:123-151 + the terrain functor 823-832) for a batch of tiles:
+
+  per texel: overscan UV (x-1)/(dim-3) -> planar bilinear corner blend in
+  double-float -> multi-octave ridged/fBm -> amplitude
+
+Layout: each 32x32 tile is 1024 texels = 8 rows of 128 lanes; a block
+processes `block_rows/8` tiles. Per-row corner payload (24 f32: 4 corners x
+3 axes x hi/lo) rides in a second VMEM operand; texel coordinates come from
+iota, so the kernel reads 128 bytes/row of geometry and writes 512 bytes/row
+of heights — entirely compute-bound at full lane utilization (the v1
+composition computed points in XLA at 32-lane layout and lost ~4x).
+
+The corners are pre-scaled by the terrain coord_scale on the host (f64,
+exact to DF precision), so bilinear blending happens directly in noise
+space; amplitude is applied in-kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from planet_tpu.ops.kernels import perlin_pallas as pk
+
+_F32 = jnp.float32
+LANES = 128
+
+
+def _df_add(ah, al, bh, bl):
+    s, e = pk._two_sum(ah, bh)
+    t, f = pk._two_sum(al, bl)
+    e = e + t
+    s, e = pk._quick_two_sum(s, e)
+    e = e + f
+    return pk._quick_two_sum(s, e)
+
+
+def _df_sub(ah, al, bh, bl):
+    return _df_add(ah, al, -bh, -bl)
+
+
+_SPLIT = np.float32(4097.0)
+
+
+def _df_mul(ah, al, bh, bl):
+    p = ah * bh
+    ca = _SPLIT * ah
+    xhi = ca - (ca - ah)
+    xlo = ah - xhi
+    cb = _SPLIT * bh
+    yhi = cb - (cb - bh)
+    ylo = bh - yhi
+    err = ((xhi * yhi - p) + xhi * ylo + xlo * yhi) + xlo * ylo
+    err = err + (ah * bl + al * bh)
+    return pk._quick_two_sum(p, err)
+
+
+def _make_tile_kernel(kind: str, octaves: int, lacunarity: float,
+                      gain: float, amplitude: float, dim: int,
+                      rows_per_tile: int):
+    div = np.float64(1.0) / np.float64(dim - 3)
+    div_hi = np.float32(div)
+    div_lo = np.float32(div - np.float64(div_hi))
+    amp = np.float32(amplitude)
+    lanes_per_row = dim * dim // rows_per_tile     # texels per row = LANES
+
+    def kernel(cref, tlo_ref, thi_ref, plo_ref, phi_ref, out_ref):
+        br = out_ref.shape[0]
+        # texel coordinates from iota: within-tile texel = (r % rpt)*128 + lane
+        r = jax.lax.broadcasted_iota(jnp.int32, (br, LANES), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (br, LANES), 1)
+        wt = (r % rows_per_tile) * lanes_per_row + lane
+        x = wt % dim
+        y = wt // dim
+
+        # u = (x-1)*div, v = (y-1)*div as double-float (exact int minus one,
+        # then one DF constant multiply)
+        xm1 = (x - 1).astype(_F32)
+        ym1 = (y - 1).astype(_F32)
+        uh, ul = pk._df_scale(xm1, jnp.zeros_like(xm1), div_hi, div_lo)
+        vh, vl = pk._df_scale(ym1, jnp.zeros_like(ym1), div_hi, div_lo)
+
+        coords = []
+        for k in range(3):
+            base = k * 8
+
+            def c(j, w):
+                col = cref[:, base + 2 * j + w][:, None]     # (br, 1)
+                return jnp.broadcast_to(col, (br, LANES))
+
+            p0h, p0l = c(0, 0), c(0, 1)
+            p1h, p1l = c(1, 0), c(1, 1)
+            p2h, p2l = c(2, 0), c(2, 1)
+            p3h, p3l = c(3, 0), c(3, 1)
+            v0h, v0l = _df_sub(p1h, p1l, p0h, p0l)
+            v1h, v1l = _df_sub(p3h, p3l, p2h, p2l)
+            t0h, t0l = _df_mul(v0h, v0l, uh, ul)
+            a_h, a_l = _df_add(p0h, p0l, t0h, t0l)
+            t1h, t1l = _df_mul(v1h, v1l, uh, ul)
+            b_h, b_l = _df_add(p2h, p2l, t1h, t1l)
+            dvh, dvl = _df_sub(b_h, b_l, a_h, a_l)
+            t2h, t2l = _df_mul(dvh, dvl, vh, vl)
+            ph, plo = _df_add(a_h, a_l, t2h, t2l)
+            coords += [ph, plo]
+
+        value = pk.accumulate_octaves(
+            kind, octaves, lacunarity, gain,
+            tlo_ref, thi_ref, plo_ref, phi_ref, *coords)
+        out_ref[:] = value * amp
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _build_tile_call(kind: str, octaves: int, lacunarity: float, gain: float,
+                     amplitude: float, dim: int, n_tiles: int,
+                     tiles_per_block: int, interpret: bool):
+    texels = dim * dim
+    assert texels % LANES == 0
+    rows_per_tile = texels // LANES
+    block_rows = tiles_per_block * rows_per_tile
+    rows_total = n_tiles * rows_per_tile
+    assert rows_total % block_rows == 0
+    kernel = _make_tile_kernel(kind, octaves, lacunarity, gain, amplitude,
+                               dim, rows_per_tile)
+    grid = rows_total // block_rows
+    data_spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    corner_spec = pl.BlockSpec((block_rows, 24), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+    table_spec = pl.BlockSpec((8, LANES), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32),
+        grid=(grid,),
+        in_specs=[corner_spec] + [table_spec] * 4,
+        out_specs=data_spec,
+        interpret=interpret,
+    )
+
+
+def generate_tiles(corners_hi, corners_lo, *, kind="ridged", octaves=6,
+                   lacunarity=2.0, gain=0.55, amplitude=8848.0, dim=32,
+                   tiles_per_block=16, interpret=None):
+    """corners_hi/lo: (N, 4, 3) f32 DF pairs of CO-ORD-SCALED quad corners
+    (host pre-multiplies by coord_scale in f64). Returns (N, dim, dim) f32
+    height tiles. N is padded internally to a whole number of blocks."""
+    if interpret is None:
+        interpret = not pk._is_tpu()
+    n = int(corners_hi.shape[0])
+    n_pad = max(tiles_per_block, -(-n // tiles_per_block) * tiles_per_block)
+
+    rows_per_tile = dim * dim // LANES
+
+    def payload(a):
+        a = jnp.asarray(a, _F32)
+        if n_pad != n:
+            a = jnp.concatenate(
+                [a, jnp.broadcast_to(a[-1:], (n_pad - n, 4, 3))])
+        return a
+
+    ch, cl = payload(corners_hi), payload(corners_lo)
+    # per-tile 24-wide payload: [axis*8 + corner*2 + word]
+    per_tile = jnp.stack(
+        [ch.transpose(0, 2, 1), cl.transpose(0, 2, 1)], axis=-1
+    ).reshape(n_pad, 24)     # (N, axis, corner, word) -> 24
+    rows = jnp.repeat(per_tile, rows_per_tile, axis=0)   # (N*rpt, 24)
+
+    call = _build_tile_call(kind, int(octaves), float(lacunarity),
+                            float(np.float32(gain)),
+                            float(np.float32(amplitude)), int(dim),
+                            n_pad, int(tiles_per_block), bool(interpret))
+    out = call(rows, *pk._tables_for_kernel())
+    return out.reshape(n_pad, dim, dim)[:n]
