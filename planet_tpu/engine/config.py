@@ -32,6 +32,7 @@ class EngineConfig:
     leaf_pad: int = 256                # pad leaf batches to this multiple
     gen_pad: int = 64                  # pad generation batches to this multiple
     use_pallas: bool = True            # pallas kernel vs XLA noise path
+    raster_supersample: int = 4        # splat fragments per cell edge
 
     @property
     def patch_quads(self) -> int:

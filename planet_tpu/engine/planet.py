@@ -106,6 +106,22 @@ def _tess_shade_fn():
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=None)
+def _raster_fn(width: int, height: int, supersample: int):
+    from planet_tpu.raster import splat
+
+    def fn(clip, vshade, valid, world, snormal):
+        # backface culling: the reference enables CW front-face culling
+        # (main.cpp:811-816); for a sphere, vertices whose outward normal
+        # points away from the camera are on the far side.
+        facing = jnp.sum(world * snormal, axis=-1) < 0.0
+        valid = valid & facing
+        c, s, v = splat.upsample_cells(clip, vshade, valid, supersample)
+        return splat.splat_frame(c, s, v, width, height)
+
+    return jax.jit(fn)
+
+
 class PlanetEngine:
     """Stateful engine: tile pool + render tick (the only mutable state
     besides the camera, which the caller owns — reference Planet struct,
@@ -155,9 +171,11 @@ class PlanetEngine:
                     corners = np.concatenate(
                         [corners, np.repeat(corners[-1:], pad, 0)], 0)
                 ch, cl = dfm.from_f64(corners)
+                # pallas only on TPU: interpret mode on CPU is test-only slow
+                use_pallas = c.use_pallas and jax.default_backend() == "tpu"
                 tiles = _gen_tiles_fn(
                     int(o), c.tile_dim, c.lacunarity, float(np.float32(c.gain)),
-                    c.coord_scale, c.amplitude, c.use_pallas)(ch, cl)
+                    c.coord_scale, c.amplitude, use_pallas)(ch, cl)
                 self.pool.store(resolved.slot[sel], tiles[:len(sel)])
                 texels += len(sel) * c.tile_dim * c.tile_dim
 
@@ -201,3 +219,20 @@ class PlanetEngine:
         return FrameOutput(vertices=pv, vertex_shade=vshade,
                            leaf_ids=res.ids, leaf_depths=res.depths,
                            n_leaves=n, stats=stats)
+
+    def render(self, camera: cam_mod.Camera,
+               width: Optional[int] = None, height: Optional[int] = None):
+        """Full frame: tessellate + depth-tested splat raster. Returns
+        (FrameOutput, image (H, W) f32, depth (H, W) f32)."""
+        c = self.config
+        width = width or c.window_w
+        height = height or c.window_h
+        out = self.frame(camera)
+        l_pad = out.vertices.clip.shape[0]
+        _, _, _, grid_mask = mesh.grid_uv_skirt(c.patch_verts)
+        row_ok = (np.arange(l_pad) < out.n_leaves)
+        valid = jnp.asarray(row_ok[:, None, None] & grid_mask[None, :, :])
+        image, depth = _raster_fn(width, height, c.raster_supersample)(
+            out.vertices.clip, out.vertex_shade, valid,
+            out.vertices.world, out.vertices.snormal)
+        return out, image, depth

@@ -38,6 +38,7 @@ class PatchVertices(NamedTuple):
     world: jnp.ndarray     # (Q, G, G, 3) camera-relative world positions
     normal: jnp.ndarray    # (Q, G, G, 3) shading normals (world space)
     height: jnp.ndarray    # (Q, G, G) sampled height (minus skirt drop)
+    snormal: jnp.ndarray   # (Q, G, G, 3) interpolated sphere normal (culling)
 
 
 def _norm(v, axis=-1, keepdims=True):
@@ -180,4 +181,5 @@ def tessellate(corners_rel, corner_normals, tiles, rect_lo, rect_hi,
     w4 = jnp.concatenate([world, jnp.ones((q, grid, grid, 1), _F32)], axis=-1)
     clip = jnp.einsum('ij,qabj->qabi', view_proj.astype(_F32), w4)
 
-    return PatchVertices(clip=clip, world=world, normal=normal, height=height)
+    return PatchVertices(clip=clip, world=world, normal=normal,
+                         height=height, snormal=nv)
