@@ -63,7 +63,13 @@ class FrameOutput:
 
 
 def _pad_to(n: int, m: int) -> int:
-    return max(m, -(-n // m) * m)
+    """Next power-of-two multiple bucket >= n, floored at m — bounds the
+    number of distinct jit shapes (each shape is one compile) to
+    O(log(max_n)) instead of O(max_n / m)."""
+    size = m
+    while size < n:
+        size *= 2
+    return size
 
 
 @functools.lru_cache(maxsize=None)

@@ -1,0 +1,240 @@
+"""Device-side LOD refinement — the fully-jitted quadtree frontier loop.
+
+The host refiner (lod.refine) is the parity reference; this variant keeps
+the whole refinement on device for the streaming/sharded path (BASELINE
+config 5), where host round-trips per level would dominate. The recursion
+becomes a `lax.while_loop` over fixed-capacity padded buffers:
+
+    state = (frontier ids/corners/depth + count, leaf ids/corners/depth + count)
+    body  = probe heights for every active slot -> split mask ->
+            compact leaves into the leaf buffer, expand splits x4 into the
+            next frontier (masked scatter by prefix-sum offsets)
+
+Fixed shapes are mandatory under jit (SURVEY.md section 7); overflow beyond
+the static capacities is detected and reported via the returned flags (the
+engine treats it as a failure-detection event and falls back to more
+conservative max_lod).
+
+Double-float corners: subdivision re-projects midpoints to the sphere
+(main.cpp:581-594) with DF normalize (~1e-13 relative), keeping split
+decisions effectively exact at planet scale.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from planet_tpu.geom import quadid
+from planet_tpu.nums import df as dfm
+
+_F32 = jnp.float32
+_I32 = jnp.int32
+
+
+class DeviceRefineResult(NamedTuple):
+    leaf_lo: jnp.ndarray       # (CAP,) int32 id words
+    leaf_hi: jnp.ndarray
+    leaf_corners_hi: jnp.ndarray   # (CAP, 4, 3) f32
+    leaf_corners_lo: jnp.ndarray
+    leaf_depth: jnp.ndarray    # (CAP,) int32
+    n_leaves: jnp.ndarray      # () int32
+    overflowed: jnp.ndarray    # () bool
+
+
+def _df_normalize3(xh, xl, yh, yl, zh, zl, radius_hi, radius_lo):
+    """normalize(p) * radius in double-float, vectorized."""
+    def sq(h, l):
+        return dfm.mul(dfm.DF(h, l), dfm.DF(h, l))
+    s = dfm.add(dfm.add(sq(xh, xl), sq(yh, yl)), sq(zh, zl))
+    ln = dfm.sqrt(s)
+    scale = dfm.div(dfm.DF(radius_hi, radius_lo), ln)
+    ox = dfm.mul(dfm.DF(xh, xl), scale)
+    oy = dfm.mul(dfm.DF(yh, yl), scale)
+    oz = dfm.mul(dfm.DF(zh, zl), scale)
+    return ox, oy, oz
+
+
+def _subdivide(ch, cl, radius):
+    """(N, 4, 3) DF corners -> (N, 4, 4, 3) children (reference VERT rule)."""
+    rh = np.float32(radius)
+    rl = np.float32(np.float64(radius) - np.float64(rh))
+
+    def mid2(i, j):
+        s = dfm.add(dfm.DF(ch[:, i], cl[:, i]), dfm.DF(ch[:, j], cl[:, j]))
+        return s                                     # (N, 3) DF
+
+    def proj(p):
+        ox, oy, oz = _df_normalize3(
+            p.hi[:, 0], p.lo[:, 0], p.hi[:, 1], p.lo[:, 1],
+            p.hi[:, 2], p.lo[:, 2], rh, rl)
+        hi = jnp.stack([ox.hi, oy.hi, oz.hi], axis=1)
+        lo = jnp.stack([ox.lo, oy.lo, oz.lo], axis=1)
+        return dfm.DF(hi, lo)
+
+    e01 = proj(mid2(0, 1))
+    e02 = proj(mid2(0, 2))
+    e13 = proj(mid2(1, 3))
+    e23 = proj(mid2(2, 3))
+    m = proj(dfm.add(mid2(0, 1), mid2(2, 3)))
+
+    def g(k):
+        items = [dfm.DF(ch[:, 0], cl[:, 0]), e01, dfm.DF(ch[:, 1], cl[:, 1]),
+                 e02, m, e13,
+                 dfm.DF(ch[:, 2], cl[:, 2]), e23, dfm.DF(ch[:, 3], cl[:, 3])]
+        return items[k]
+
+    sel = [[0, 1, 3, 4], [1, 2, 4, 5], [3, 4, 6, 7], [4, 5, 7, 8]]
+    kids_hi = jnp.stack(
+        [jnp.stack([g(k).hi for k in row], axis=1) for row in sel], axis=1)
+    kids_lo = jnp.stack(
+        [jnp.stack([g(k).lo for k in row], axis=1) for row in sel], axis=1)
+    return kids_hi, kids_lo       # (N, 4child, 4corner, 3)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "max_lod", "cap", "radius", "probe_fn_name"))
+def refine_device(cam_hi, cam_lo, root_lo, root_hi, root_ch, root_cl,
+                  *, max_lod: int, cap: int, radius: float,
+                  probe_fn_name: str = "zero"):
+    """Full-device refinement. Roots: (6,) id words + (6, 4, 3) DF corners.
+
+    probe_fn_name selects the probe-height model: "zero" (smooth sphere,
+    ConstantZero generator, main.cpp:836-841) — the noisy probe variant is
+    composed at the engine level where the Pallas kernel is available.
+    """
+    n0 = 6
+
+    def pad(a, shape, dtype):
+        out = jnp.zeros(shape, dtype)
+        return out.at[:a.shape[0]].set(a)
+
+    f_lo = pad(root_lo, (cap,), _I32)
+    f_hi = pad(root_hi, (cap,), _I32)
+    f_ch = pad(root_ch, (cap, 4, 3), _F32)
+    f_cl = pad(root_cl, (cap, 4, 3), _F32)
+    f_depth = jnp.zeros((cap,), _I32)
+    f_n = jnp.int32(n0)
+
+    l_lo = jnp.zeros((cap,), _I32)
+    l_hi = jnp.zeros((cap,), _I32)
+    l_ch = jnp.zeros((cap, 4, 3), _F32)
+    l_cl = jnp.zeros((cap, 4, 3), _F32)
+    l_depth = jnp.zeros((cap,), _I32)
+    l_n = jnp.int32(0)
+    overflow = jnp.bool_(False)
+
+    cam = dfm.DF(jnp.asarray(cam_hi, _F32), jnp.asarray(cam_lo, _F32))
+
+    def probe_heights(ch, cl):
+        if probe_fn_name == "zero":
+            return jnp.zeros(ch.shape[:-1], _F32)
+        raise ValueError(probe_fn_name)
+
+    def body(state):
+        (f_lo, f_hi, f_ch, f_cl, f_depth, f_n,
+         l_lo, l_hi, l_ch, l_cl, l_depth, l_n, overflow, level) = state
+
+        active = jnp.arange(cap) < f_n
+        lod = max_lod - level
+
+        # --- probes: 4 corners + sphere midpoint, displaced by heights
+        rh = np.float32(radius)
+        rl = np.float32(np.float64(radius) - np.float64(rh))
+        csum_h = f_ch.sum(axis=1)
+        csum_l = f_cl.sum(axis=1)          # adequate: used via DF normalize
+        mx, my, mz = _df_normalize3(
+            csum_h[:, 0], csum_l[:, 0], csum_h[:, 1], csum_l[:, 1],
+            csum_h[:, 2], csum_l[:, 2], rh, rl)
+        mid_h = jnp.stack([mx.hi, my.hi, mz.hi], 1)
+        mid_l = jnp.stack([mx.lo, my.lo, mz.lo], 1)
+
+        probes_h = jnp.concatenate([f_ch, mid_h[:, None, :]], axis=1)
+        probes_l = jnp.concatenate([f_cl, mid_l[:, None, :]], axis=1)
+        hts = probe_heights(probes_h, probes_l)              # (cap, 5)
+        # displace along outward normal: p * (1 + h/|p|) ~ p + n*h
+        plen = jnp.sqrt(jnp.sum(probes_h * probes_h, axis=-1))
+        disp = (probes_h * (1.0 + (hts / plen)[..., None])).astype(_F32)
+
+        d30 = disp[:, 3] - disp[:, 0]
+        d21 = disp[:, 2] - disp[:, 1]
+        denom = np.float32(1.0) + np.float32(2.5) * jnp.asarray(lod, _F32) \
+            / np.float32(max_lod)
+        d = (jnp.sum(d30 * d30, -1) + jnp.sum(d21 * d21, -1)) / denom
+
+        # camera-relative distances: subtract hi then lo (hi subtraction is
+        # exact by Sterbenz when the probe is near the camera, which is
+        # exactly when precision matters)
+        relx = (disp[..., 0] - cam.hi[0]) - cam.lo[0]
+        rely = (disp[..., 1] - cam.hi[1]) - cam.lo[1]
+        relz = (disp[..., 2] - cam.hi[2]) - cam.lo[2]
+        dist2 = relx * relx + rely * rely + relz * relz      # (cap, 5)
+        split = active & (lod > 0) & (dist2 * 2.0 < d[:, None]).any(axis=1)
+        leaf = active & ~split
+
+        # --- compact leaves into leaf buffer (dump row `cap` for non-leaves)
+        leaf_pos = jnp.cumsum(leaf.astype(_I32)) - 1 + l_n
+        ok_leaf = leaf & (leaf_pos < cap)
+        tgt = jnp.where(ok_leaf, leaf_pos, cap)
+
+        def scat(buf, val):
+            pad_shape = (cap + 1,) + buf.shape[1:]
+            tmp = jnp.zeros(pad_shape, buf.dtype).at[:cap].set(buf)
+            return tmp.at[tgt].set(val)[:cap]
+
+        l_lo = scat(l_lo, f_lo)
+        l_hi = scat(l_hi, f_hi)
+        l_ch = scat(l_ch, f_ch)
+        l_cl = scat(l_cl, f_cl)
+        l_depth = scat(l_depth, f_depth)
+        new_l_n = (l_n + jnp.sum(leaf.astype(_I32))).astype(_I32)
+        overflow = overflow | (new_l_n > cap)
+        l_n = jnp.minimum(new_l_n, cap).astype(_I32)
+
+        # --- expand splits
+        kids_h, kids_l = _subdivide(f_ch, f_cl, radius)      # (cap,4,4,3)
+        child_lo = jnp.stack(
+            [quadid.words_make_child(f_lo, f_hi, jnp.int32(c))[0]
+             for c in range(4)], axis=1)
+        child_hi = jnp.stack(
+            [quadid.words_make_child(f_lo, f_hi, jnp.int32(c))[1]
+             for c in range(4)], axis=1)
+
+        split_pos = jnp.cumsum(split.astype(_I32)) - 1
+        n_split = jnp.sum(split.astype(_I32))
+        base = split_pos * 4                                  # (cap,)
+        ok_split = split & (base + 3 < cap)
+        overflow = overflow | ((n_split * 4) > cap)
+
+        nf_lo = jnp.zeros((cap + 1,), _I32)
+        nf_hi = jnp.zeros((cap + 1,), _I32)
+        nf_ch = jnp.zeros((cap + 1, 4, 3), _F32)
+        nf_cl = jnp.zeros((cap + 1, 4, 3), _F32)
+        nf_depth = jnp.zeros((cap + 1,), _I32)
+        for c in range(4):
+            t = jnp.where(ok_split, base + c, cap)
+            nf_lo = nf_lo.at[t].set(child_lo[:, c])
+            nf_hi = nf_hi.at[t].set(child_hi[:, c])
+            nf_ch = nf_ch.at[t].set(kids_h[:, c])
+            nf_cl = nf_cl.at[t].set(kids_l[:, c])
+            nf_depth = nf_depth.at[t].set(f_depth + 1)
+        f_n = jnp.minimum(n_split * 4, cap).astype(_I32)
+
+        return (nf_lo[:cap], nf_hi[:cap], nf_ch[:cap], nf_cl[:cap],
+                nf_depth[:cap], f_n,
+                l_lo, l_hi, l_ch, l_cl, l_depth, l_n, overflow, level + 1)
+
+    def cond(state):
+        f_n, level = state[5], state[13]
+        return (f_n > 0) & (level <= max_lod)
+
+    state = (f_lo, f_hi, f_ch, f_cl, f_depth, f_n,
+             l_lo, l_hi, l_ch, l_cl, l_depth, l_n, overflow, jnp.int32(0))
+    state = jax.lax.while_loop(cond, body, state)
+    (_, _, _, _, _, _,
+     l_lo, l_hi, l_ch, l_cl, l_depth, l_n, overflow, _) = state
+    return DeviceRefineResult(l_lo, l_hi, l_ch, l_cl, l_depth, l_n, overflow)

@@ -93,8 +93,11 @@ def upsample_cells(clip, shade, valid, k: int):
     outs_c, outs_s = [], []
     for i in range(k):
         for j in range(k):
-            fu = np.float32(j / k)
-            fv = np.float32(i / k)
+            # inclusive [0, 1] sampling: cell edges are covered from BOTH
+            # neighboring cells/quads, closing sub-pixel seams at shared
+            # boundaries (duplicated edge fragments are depth-tested away)
+            fu = np.float32(j / (k - 1)) if k > 1 else np.float32(0.5)
+            fv = np.float32(i / (k - 1)) if k > 1 else np.float32(0.5)
             w00 = (1 - fu) * (1 - fv)
             w01 = fu * (1 - fv)
             w10 = (1 - fu) * fv
