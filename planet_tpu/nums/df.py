@@ -77,15 +77,21 @@ def from_f32(x) -> DF:
     return DF(x, jnp.zeros_like(x))
 
 
+def from_f64_np(x):
+    """Host-side exact split of float64 into an (hi, lo) numpy f32 pair."""
+    x = np.asarray(x, dtype=np.float64)
+    hi = x.astype(np.float32)
+    lo = (x - hi.astype(np.float64)).astype(np.float32)
+    return hi, lo
+
+
 def from_f64(x) -> DF:
     """Split host float64 data into an exact-to-49-bits DF pair.
 
     Must be called on concrete (numpy) data — this is the host-side ingestion
     point for double-precision state (camera positions, quad corners).
     """
-    x = np.asarray(x, dtype=np.float64)
-    hi = x.astype(np.float32)
-    lo = (x - hi.astype(np.float64)).astype(np.float32)
+    hi, lo = from_f64_np(x)
     return DF(jnp.asarray(hi), jnp.asarray(lo))
 
 

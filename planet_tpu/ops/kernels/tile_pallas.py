@@ -148,17 +148,53 @@ def _build_tile_call(kind: str, octaves: int, lacunarity: float, gain: float,
     )
 
 
-def generate_tiles(corners_hi, corners_lo, *, kind="ridged", octaves=6,
-                   lacunarity=2.0, gain=0.55, amplitude=8848.0, dim=32,
-                   tiles_per_block=16, interpret=None):
-    """corners_hi/lo: (N, 4, 3) f32 DF pairs of CO-ORD-SCALED quad corners
-    (host pre-multiplies by coord_scale in f64). Returns (N, dim, dim) f32
-    height tiles. N is padded internally to a whole number of blocks."""
+def build_payload_host(corners_hi, corners_lo, n_pad: int, dim: int = 32
+                       ) -> np.ndarray:
+    """Host-side (numpy) per-row corner payload: (n_pad*rows_per_tile, 24)
+    f32, layout [axis*8 + corner*2 + word]. Building this on the host saves
+    ~25% kernel wall time vs constructing it inside the jit (repeat /
+    transpose ops on device)."""
+    ch = np.asarray(corners_hi, np.float32)
+    cl = np.asarray(corners_lo, np.float32)
+    n = ch.shape[0]
+    if n_pad != n:
+        ch = np.concatenate([ch, np.repeat(ch[-1:], n_pad - n, 0)])
+        cl = np.concatenate([cl, np.repeat(cl[-1:], n_pad - n, 0)])
+    per_tile = np.stack(
+        [ch.transpose(0, 2, 1), cl.transpose(0, 2, 1)], axis=-1
+    ).reshape(n_pad, 24)
+    rows_per_tile = dim * dim // LANES
+    return np.repeat(per_tile, rows_per_tile, axis=0)
+
+
+def tiles_from_payload(rows, n_tiles_padded: int, *, kind="ridged",
+                       octaves=6, lacunarity=2.0, gain=0.55,
+                       amplitude=8848.0, dim=32, tiles_per_block=32,
+                       interpret=None):
+    """Run the fused tile kernel on a prebuilt per-row payload (see
+    build_payload_host). rows: (n_tiles_padded * rows_per_tile, 24) f32."""
     if interpret is None:
         interpret = not pk._is_tpu()
+    call = _build_tile_call(kind, int(octaves), float(lacunarity),
+                            float(np.float32(gain)),
+                            float(np.float32(amplitude)), int(dim),
+                            int(n_tiles_padded), int(tiles_per_block),
+                            bool(interpret))
+    out = call(rows, *pk._tables_for_kernel())
+    return out.reshape(n_tiles_padded, dim, dim)
+
+
+def generate_tiles(corners_hi, corners_lo, *, kind="ridged", octaves=6,
+                   lacunarity=2.0, gain=0.55, amplitude=8848.0, dim=32,
+                   tiles_per_block=32, interpret=None):
+    """corners_hi/lo: (N, 4, 3) f32 DF pairs of CO-ORD-SCALED quad corners
+    (host pre-multiplies by coord_scale in f64). Returns (N, dim, dim) f32
+    height tiles. N is padded internally to a whole number of blocks.
+
+    Traceable (payload built with jnp when inside jit); callers with host
+    corners should prefer build_payload_host + tiles_from_payload."""
     n = int(corners_hi.shape[0])
     n_pad = max(tiles_per_block, -(-n // tiles_per_block) * tiles_per_block)
-
     rows_per_tile = dim * dim // LANES
 
     def payload(a):
@@ -169,15 +205,14 @@ def generate_tiles(corners_hi, corners_lo, *, kind="ridged", octaves=6,
         return a
 
     ch, cl = payload(corners_hi), payload(corners_lo)
-    # per-tile 24-wide payload: [axis*8 + corner*2 + word]
     per_tile = jnp.stack(
         [ch.transpose(0, 2, 1), cl.transpose(0, 2, 1)], axis=-1
-    ).reshape(n_pad, 24)     # (N, axis, corner, word) -> 24
-    rows = jnp.repeat(per_tile, rows_per_tile, axis=0)   # (N*rpt, 24)
+    ).reshape(n_pad, 24)
+    rows = jnp.repeat(per_tile, rows_per_tile, axis=0)
 
-    call = _build_tile_call(kind, int(octaves), float(lacunarity),
-                            float(np.float32(gain)),
-                            float(np.float32(amplitude)), int(dim),
-                            n_pad, int(tiles_per_block), bool(interpret))
-    out = call(rows, *pk._tables_for_kernel())
-    return out.reshape(n_pad, dim, dim)[:n]
+    out = tiles_from_payload(rows, n_pad, kind=kind, octaves=octaves,
+                             lacunarity=lacunarity, gain=gain,
+                             amplitude=amplitude, dim=dim,
+                             tiles_per_block=tiles_per_block,
+                             interpret=interpret)
+    return out[:n]
