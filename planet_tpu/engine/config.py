@@ -33,6 +33,7 @@ class EngineConfig:
     gen_pad: int = 64                  # pad generation batches to this multiple
     use_pallas: bool = True            # pallas kernel vs XLA noise path
     raster_supersample: int = 4        # splat fragments per cell edge
+    check_finite: bool = False         # per-frame NaN/inf tile guard
 
     @property
     def patch_quads(self) -> int:

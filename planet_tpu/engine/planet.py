@@ -113,7 +113,7 @@ def _tess_shade_fn():
 
 
 @functools.lru_cache(maxsize=None)
-def _raster_fn(width: int, height: int, supersample: int):
+def _raster_fn(width: int, height: int, supersample: int, wireframe: bool):
     from planet_tpu.raster import splat
 
     def fn(clip, vshade, valid, world, snormal):
@@ -122,7 +122,8 @@ def _raster_fn(width: int, height: int, supersample: int):
         # points away from the camera are on the far side.
         facing = jnp.sum(world * snormal, axis=-1) < 0.0
         valid = valid & facing
-        c, s, v = splat.upsample_cells(clip, vshade, valid, supersample)
+        c, s, v = splat.upsample_cells(clip, vshade, valid, supersample,
+                                       wireframe=wireframe)
         return splat.splat_frame(c, s, v, width, height)
 
     return jax.jit(fn)
@@ -143,6 +144,13 @@ class PlanetEngine:
         pf = cam_mod.proj_factor_from_fovy(np.deg2rad(c.fovy_deg))
         self.proj = cam_mod.perspective_lh(
             pf, c.window_w / c.window_h, c.near_plane, c.far_plane)
+        # runtime toggles (reference keys P / K, main.cpp:980-994)
+        self.wireframe = False
+        self.skirts = True
+        # failure detection: count of non-finite tiles seen (config gate)
+        self.nonfinite_tiles = 0
+        # probe-height memo (pure function of quad id) — see lod.refine
+        self._probe_cache: dict = {}
 
     # ----------------------------------------------------------------- frame
 
@@ -154,8 +162,11 @@ class PlanetEngine:
         view_proj = (self.proj @ cam_mod.view_from_rotation(rot)).astype(np.float32)
 
         # 1. refinement (host, exact reference leaf sets in DFS order)
+        if len(self._probe_cache) > 1_000_000:
+            self._probe_cache.clear()
         res = lod_refine.refine(camera.position, c.max_lod, c.radius,
-                                height_fn=self._height_fn)
+                                height_fn=self._height_fn,
+                                probe_cache=self._probe_cache)
         n = len(res.ids)
 
         # 2. cache policy
@@ -190,6 +201,17 @@ class PlanetEngine:
                         cln = np.concatenate(
                             [cln, np.repeat(cln[-1:], pad, 0)], 0)
                     tiles = gen(chn, cln)
+                if c.check_finite:
+                    # step-level NaN/inf guard (failure detection; the
+                    # reference's closest analogue is its per-frame GL error
+                    # poll, main.cpp:1100-1115)
+                    bad = int(jnp.sum(
+                        ~jnp.isfinite(tiles[:len(sel)]).all(axis=(1, 2))))
+                    if bad:
+                        self.nonfinite_tiles += bad
+                        import logging
+                        logging.getLogger(__name__).error(
+                            "%d non-finite tiles generated this frame", bad)
                 self.pool.store(resolved.slot[sel], tiles[:len(sel)])
                 texels += len(sel) * c.tile_dim * c.tile_dim
 
@@ -207,8 +229,10 @@ class PlanetEngine:
             (res.corners - camera.position[None, None, :]).astype(np.float32))
         normals = pad_rows(
             lod_refine._normalize_rows(res.corners).astype(np.float32))
+        skirt_scale = 1.0 if self.skirts else 0.0   # key-K toggle analogue
         skirt = pad_rows(np.array(
-            [c.skirt_size_for_depth(d) for d in res.depths], np.float32))
+            [c.skirt_size_for_depth(d) * skirt_scale for d in res.depths],
+            np.float32))
         slots = pad_rows(resolved.slot.astype(np.int32))
         rect_lo = pad_rows(resolved.rect_lo)
         rect_hi = pad_rows(resolved.rect_hi)
@@ -246,7 +270,8 @@ class PlanetEngine:
         _, _, _, grid_mask = mesh.grid_uv_skirt(c.patch_verts)
         row_ok = (np.arange(l_pad) < out.n_leaves)
         valid = jnp.asarray(row_ok[:, None, None] & grid_mask[None, :, :])
-        image, depth = _raster_fn(width, height, c.raster_supersample)(
+        image, depth = _raster_fn(width, height, c.raster_supersample,
+                                  self.wireframe)(
             out.vertices.clip, out.vertex_shade, valid,
             out.vertices.world, out.vertices.snormal)
         return out, image, depth

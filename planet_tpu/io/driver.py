@@ -41,11 +41,26 @@ def main(argv=None):
                     help="override camera altitude above the surface (m)")
     ap.add_argument("--timing", action="store_true",
                     help="per-block timing prints (reference key T)")
+    ap.add_argument("--wireframe", action="store_true",
+                    help="grid-line rendering (reference key P)")
+    ap.add_argument("--no-skirts", action="store_true",
+                    help="disable skirt drop (reference key K)")
+    ap.add_argument("--supersample", type=int, default=None,
+                    help="splat fragments per cell edge (default: by width)")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax.profiler trace of the run to DIR")
+    ap.add_argument("--check-finite", action="store_true",
+                    help="per-frame NaN/inf tile guard")
     ap.add_argument("--no-save", action="store_true")
     args = ap.parse_args(argv)
 
-    cfg = EngineConfig(window_w=args.width, window_h=args.height)
+    ss = args.supersample or max(4, round(args.width / 240))
+    cfg = EngineConfig(window_w=args.width, window_h=args.height,
+                       raster_supersample=ss,
+                       check_finite=args.check_finite)
     engine = PlanetEngine(cfg)
+    engine.wireframe = args.wireframe
+    engine.skirts = not args.no_skirts
 
     active, slots = checkpoint.load(args.save, cfg.radius)
     cam = slots[args.slot] if 0 <= args.slot < len(slots) else active
@@ -61,6 +76,12 @@ def main(argv=None):
         timing.toggle_timing()
 
     os.makedirs(args.out, exist_ok=True)
+
+    profiler = None
+    if args.profile:
+        import jax
+        profiler = jax.profiler.trace(args.profile)
+        profiler.__enter__()
 
     for i in range(args.frames):
         if args.orbit:
@@ -80,6 +101,9 @@ def main(argv=None):
               f"tiles: {s.tiles_generated}, texels: {s.texels_generated}",
               flush=True)
         png.write_png(os.path.join(args.out, f"frame_{i:04d}.png"), image)
+
+    if profiler is not None:
+        profiler.__exit__(None, None, None)
 
     if not args.no_save:
         checkpoint.save(args.save, cam, slots)

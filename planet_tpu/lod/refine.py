@@ -70,12 +70,17 @@ def _subdivide_batch(corners, radius):
 
 
 def refine(camera_position, max_lod: int, radius: float = RADIUS_DEFAULT,
-           height_fn=None) -> RefineResult:
+           height_fn=None, probe_cache=None) -> RefineResult:
     """Breadth-first refinement against one camera.
 
     height_fn(points (..., 3) f64) -> f32 probe heights; defaults to the
     production terrain at (depth=0, max_depth=1), i.e. 6 octaves
     (reference main.cpp:552-556 passes (p, 0, 1)).
+
+    probe_cache: optional dict {quad id -> (5,) f32 probe heights}. Probe
+    heights are pure functions of quad geometry, so caching across frames
+    is exact; the visited tree changes little per camera step, making the
+    refine cost ~the tree-walk alone on warm frames.
     """
     cam = np.asarray(camera_position, np.float64)
     if height_fn is None:
@@ -100,14 +105,33 @@ def refine(camera_position, max_lod: int, radius: float = RADIUS_DEFAULT,
         mid_n = _normalize_rows(((p0 + p1) + p2) + p3)
         mid = mid_n * np.float64(radius)
 
-        # probes: corners + midpoint displaced by 6-octave terrain height
+        # probe heights: 4 corners + midpoint (cached by quad id when a
+        # cache is provided — pure function of geometry)
+        if probe_cache is not None:
+            need = np.array([int(q) not in probe_cache for q in ids])
+        else:
+            need = np.ones(len(ids), bool)
+        h5 = np.empty((len(ids), 5), np.float32)
+        if need.any():
+            pts = np.concatenate(
+                [corners[need].reshape(-1, 3), mid[need]], axis=0)
+            hs = height_fn(pts)
+            k = int(need.sum())
+            h5[need, :4] = hs[:4 * k].reshape(k, 4)
+            h5[need, 4] = hs[4 * k:]
+            if probe_cache is not None:
+                for q, row in zip(ids[need], h5[need]):
+                    probe_cache[int(q)] = row.copy()
+        if probe_cache is not None and (~need).any():
+            for i in np.nonzero(~need)[0]:
+                h5[i] = probe_cache[int(ids[i])]
+
         probes = np.empty((len(ids), 5, 3), np.float64)
-        h4 = height_fn(corners.reshape(-1, 3)).reshape(len(ids), 4)
         for i in range(4):
             n = _normalize_rows(corners[:, i, :])
-            probes[:, i, :] = corners[:, i, :] + n * h4[:, i].astype(np.float64)[:, None]
-        hm = height_fn(mid)
-        probes[:, 4, :] = mid + mid_n * hm.astype(np.float64)[:, None]
+            probes[:, i, :] = corners[:, i, :] \
+                + n * h5[:, i].astype(np.float64)[:, None]
+        probes[:, 4, :] = mid + mid_n * h5[:, 4].astype(np.float64)[:, None]
 
         d30 = probes[:, 3] - probes[:, 0]
         d21 = probes[:, 2] - probes[:, 1]

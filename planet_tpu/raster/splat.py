@@ -72,12 +72,15 @@ def splat_frame(clip, shade, valid, width: int, height: int,
     return image, depth
 
 
-def upsample_cells(clip, shade, valid, k: int):
+def upsample_cells(clip, shade, valid, k: int, wireframe: bool = False):
     """Cell-level bilinear supersampling: every grid cell (triangle pair)
     contributes k*k interpolated fragments instead of just its corner
     vertices — the splat analogue of triangle interior coverage. clip
     (..., G, G, 4), shade (..., G, G), valid (..., G, G) -> flattened
-    per-fragment arrays with (G-1)*k points per axis."""
+    per-fragment arrays with (G-1)*k points per axis.
+
+    wireframe=True keeps only cell-edge fragments (the reference's key-P
+    GL_LINE polygon mode, main.cpp:980-985)."""
     if k <= 1:
         return clip, shade, valid
 
@@ -90,22 +93,25 @@ def upsample_cells(clip, shade, valid, k: int):
     v = valid[..., :-1, :-1] & valid[..., :-1, 1:] \
         & valid[..., 1:, :-1] & valid[..., 1:, 1:]
 
+    # wireframe keeps only cell-edge fragments (grid lines)
+    offsets = [(i, j) for i in range(k) for j in range(k)
+               if not wireframe or i == 0 or j == 0]
+
     outs_c, outs_s = [], []
-    for i in range(k):
-        for j in range(k):
-            # inclusive [0, 1] sampling: cell edges are covered from BOTH
-            # neighboring cells/quads, closing sub-pixel seams at shared
-            # boundaries (duplicated edge fragments are depth-tested away)
-            fu = np.float32(j / (k - 1)) if k > 1 else np.float32(0.5)
-            fv = np.float32(i / (k - 1)) if k > 1 else np.float32(0.5)
-            w00 = (1 - fu) * (1 - fv)
-            w01 = fu * (1 - fv)
-            w10 = (1 - fu) * fv
-            w11 = fu * fv
-            outs_c.append(c00 * w00 + c01 * w01 + c10 * w10 + c11 * w11)
-            outs_s.append(s00 * w00 + s01 * w01 + s10 * w10 + s11 * w11)
-    clip_up = jnp.stack(outs_c, axis=-2)            # (..., G-1, G-1, k*k, 4)
-    shade_up = jnp.stack(outs_s, axis=-2)[..., 0]   # (..., G-1, G-1, k*k)
+    for i, j in offsets:
+        # inclusive [0, 1] sampling: cell edges are covered from BOTH
+        # neighboring cells/quads, closing sub-pixel seams at shared
+        # boundaries (duplicated edge fragments are depth-tested away)
+        fu = np.float32(j / (k - 1))
+        fv = np.float32(i / (k - 1))
+        w00 = (1 - fu) * (1 - fv)
+        w01 = fu * (1 - fv)
+        w10 = (1 - fu) * fv
+        w11 = fu * fv
+        outs_c.append(c00 * w00 + c01 * w01 + c10 * w10 + c11 * w11)
+        outs_s.append(s00 * w00 + s01 * w01 + s10 * w10 + s11 * w11)
+    clip_up = jnp.stack(outs_c, axis=-2)            # (..., G-1, G-1, F, 4)
+    shade_up = jnp.stack(outs_s, axis=-2)[..., 0]   # (..., G-1, G-1, F)
     valid_up = jnp.broadcast_to(v[..., None], shade_up.shape)
     return clip_up, shade_up, valid_up
 

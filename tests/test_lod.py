@@ -47,3 +47,21 @@ def test_refine_leaf_corners_lie_on_reasonable_sphere():
     got = refine.refine(g("lod_cams")[0], max_lod=18)
     r = np.linalg.norm(got.corners, axis=-1)
     np.testing.assert_allclose(r, 6371000.0, rtol=1e-9)
+
+
+def test_refine_probe_cache_exact():
+    """Cached probe heights must not change leaf sets (pure function)."""
+    cams = g("lod_cams")
+    counts = g("lod_leaf_counts")
+    all_ids = g("lod_leaf_ids")
+    cache = {}
+    offset = 0
+    for ci in range(len(cams)):
+        want = all_ids[offset:offset + counts[ci]]
+        offset += counts[ci]
+        got = refine.refine(cams[ci], max_lod=18, probe_cache=cache)
+        np.testing.assert_array_equal(got.ids, want)
+    assert len(cache) > 0
+    # second pass fully cache-hit, still exact
+    got = refine.refine(cams[0], max_lod=18, probe_cache=cache)
+    np.testing.assert_array_equal(got.ids, all_ids[:counts[0]])
