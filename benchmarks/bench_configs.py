@@ -182,8 +182,11 @@ def main(argv):
     fns = {"1": config1, "2": config2, "3": config3, "4": config4,
            "5": config5}
     if which == "all":
+        # one subprocess per config: a shared process skews later configs
+        # (live executables/buffers on the remote device)
+        import subprocess
         for k in "12345":
-            fns[k]()
+            subprocess.run([sys.executable, __file__, k], check=False)
     else:
         fns[which]()
 

@@ -166,3 +166,25 @@ def words_path_digit(lo, hi, level):
     from_lo = jnp.right_shift(lo, jnp.where(in_lo, pos, 0)) & 3
     from_hi = jnp.right_shift(hi, jnp.where(in_lo, 0, pos - 32)) & 3
     return jnp.where(in_lo, from_lo, from_hi)
+
+
+def words_dfs_key(lo, hi):
+    """Device twin of dfs_key: two NON-NEGATIVE int32 sort keys (khi, klo)
+    whose lexicographic order is the reference's DFS leaf-emission order
+    (root, then path digits MSB-first, zero-padded to depth 27).
+
+    Bit layout of the 57-bit conceptual key: root at bits 54-56, digit for
+    level i (1-based) at bits (55-2i, 54-2i). khi = bits 26-56 (31 bits),
+    klo = bits 0-25 (26 bits) — both fit positive int32.
+    """
+    depth = words_depth(hi)
+    khi = jnp.left_shift(words_root(hi), 28)          # bits 54-56 -> 28-30
+    klo = jnp.zeros_like(lo)
+    for i in range(1, MAX_DEPTH_REPRESENTABLE + 1):
+        d = jnp.where(i <= depth, words_path_digit(lo, hi, i), 0)
+        bitpos = 54 - 2 * i                            # in the 57-bit key
+        if bitpos >= 26:
+            khi = khi | jnp.left_shift(d, bitpos - 26)
+        else:
+            klo = klo | jnp.left_shift(d, bitpos)
+    return khi, klo

@@ -131,8 +131,21 @@ def refine_device(cam_hi, cam_lo, root_lo, root_hi, root_ch, root_cl,
     cam = dfm.DF(jnp.asarray(cam_hi, _F32), jnp.asarray(cam_lo, _F32))
 
     def probe_heights(ch, cl):
+        """(cap, 5, 3) DF probe positions -> (cap, 5) f32 heights."""
         if probe_fn_name == "zero":
             return jnp.zeros(ch.shape[:-1], _F32)
+        if probe_fn_name == "ridged6":
+            # the production terrain at (depth=0, max_depth=1): 6 octaves
+            # (reference ProcessQuad probes, main.cpp:552-556 / 823-832)
+            from planet_tpu.ops.kernels import perlin_pallas as pk
+            sh = np.float32(1e-5)
+            sl = np.float32(np.float64(1e-5) - np.float64(sh))
+            xh, xl = pk._df_scale(ch[..., 0], cl[..., 0], sh, sl)
+            yh, yl = pk._df_scale(ch[..., 1], cl[..., 1], sh, sl)
+            zh, zl = pk._df_scale(ch[..., 2], cl[..., 2], sh, sl)
+            h = pk.noise_df("ridged", xh, xl, yh, yl, zh, zl,
+                            octaves=6, gain=np.float32(0.55))
+            return h * np.float32(8848.0)
         raise ValueError(probe_fn_name)
 
     def body(state):

@@ -193,9 +193,15 @@ def _df_scale(xhi, xlo, chi, clo):
 
 def accumulate_octaves(kind: str, octaves: int, lacunarity: float, gain,
                        tlo_ref, thi_ref, plo_ref, phi_ref,
-                       xh, xl, yh, yl, zh, zl):
+                       xh, xl, yh, yl, zh, zl, oct_mask_fn=None):
     """The multi-octave fBm/ridged accumulation over double-float coordinate
-    blocks — shared by the flat noise kernel and the fused tile kernel."""
+    blocks — shared by the flat noise kernel and the fused tile kernel.
+
+    oct_mask_fn(i) -> bool mask (or None): when given, octave i only
+    contributes where the mask is True — the mixed-octave-count mode for
+    batches whose rows want different depth-dependent octave counts
+    (reference main.cpp:827) in a single launch.
+    """
     gain = np.float32(gain)
     freqs = _freq_consts(lacunarity, octaves)
     pow2 = float(lacunarity) == 2.0
@@ -223,13 +229,22 @@ def accumulate_octaves(kind: str, octaves: int, lacunarity: float, gain,
         n = _noise3_core(tlo_ref, thi_ref, plo_ref, phi_ref,
                          cx, fx, fxm1, cy, fy, fym1, cz, fz, fzm1)
 
+        live = None if oct_mask_fn is None else oct_mask_fn(i)
         if kind == "fbm":
-            value = value + n * amplitude
+            contrib = n * amplitude
+            if live is not None:
+                contrib = jnp.where(live, contrib, 0.0)
+            value = value + contrib
         else:   # ridged (main.cpp:721-731): unclamped weight feedback
             v = np.float32(1.0) - jnp.abs(n)
             v = v * v
-            value = value + v * amplitude * weight
-            weight = v
+            contrib = v * amplitude * weight
+            if live is not None:
+                contrib = jnp.where(live, contrib, 0.0)
+                weight = jnp.where(live, v, weight)
+            else:
+                weight = v
+            value = value + contrib
         amplitude = amplitude * gain
 
     return value

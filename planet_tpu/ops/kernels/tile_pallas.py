@@ -65,7 +65,7 @@ def _df_mul(ah, al, bh, bl):
 
 def _make_tile_kernel(kind: str, octaves: int, lacunarity: float,
                       gain: float, amplitude: float, dim: int,
-                      rows_per_tile: int):
+                      rows_per_tile: int, per_row_octaves: bool = False):
     div = np.float64(1.0) / np.float64(dim - 3)
     div_hi = np.float32(div)
     div_lo = np.float32(div - np.float64(div_hi))
@@ -111,9 +111,17 @@ def _make_tile_kernel(kind: str, octaves: int, lacunarity: float,
             ph, plo = _df_add(a_h, a_l, t2h, t2l)
             coords += [ph, plo]
 
+        oct_mask_fn = None
+        if per_row_octaves:
+            # payload column 24 carries this row's octave count (f32; the
+            # unrolled loop masks octave i where i >= count)
+            oct_row = jnp.broadcast_to(cref[:, 24][:, None], (br, LANES))
+            oct_mask_fn = lambda i: np.float32(i) < oct_row
+
         value = pk.accumulate_octaves(
             kind, octaves, lacunarity, gain,
-            tlo_ref, thi_ref, plo_ref, phi_ref, *coords)
+            tlo_ref, thi_ref, plo_ref, phi_ref, *coords,
+            oct_mask_fn=oct_mask_fn)
         out_ref[:] = value * amp
 
     return kernel
@@ -122,7 +130,8 @@ def _make_tile_kernel(kind: str, octaves: int, lacunarity: float,
 @functools.lru_cache(maxsize=None)
 def _build_tile_call(kind: str, octaves: int, lacunarity: float, gain: float,
                      amplitude: float, dim: int, n_tiles: int,
-                     tiles_per_block: int, interpret: bool):
+                     tiles_per_block: int, interpret: bool,
+                     per_row_octaves: bool = False):
     texels = dim * dim
     assert texels % LANES == 0
     rows_per_tile = texels // LANES
@@ -130,11 +139,12 @@ def _build_tile_call(kind: str, octaves: int, lacunarity: float, gain: float,
     rows_total = n_tiles * rows_per_tile
     assert rows_total % block_rows == 0
     kernel = _make_tile_kernel(kind, octaves, lacunarity, gain, amplitude,
-                               dim, rows_per_tile)
+                               dim, rows_per_tile, per_row_octaves)
     grid = rows_total // block_rows
+    payload_w = 32 if per_row_octaves else 24
     data_spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
-    corner_spec = pl.BlockSpec((block_rows, 24), lambda i: (i, 0),
+    corner_spec = pl.BlockSpec((block_rows, payload_w), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)
     table_spec = pl.BlockSpec((8, LANES), lambda i: (0, 0),
                               memory_space=pltpu.VMEM)
@@ -181,6 +191,28 @@ def tiles_from_payload(rows, n_tiles_padded: int, *, kind="ridged",
                             int(n_tiles_padded), int(tiles_per_block),
                             bool(interpret))
     out = call(rows, *pk._tables_for_kernel())
+    return out.reshape(n_tiles_padded, dim, dim)
+
+
+def tiles_mixed_octaves(rows32, octaves_rows, n_tiles_padded: int, *,
+                        kind="ridged", max_octaves=18, lacunarity=2.0,
+                        gain=0.55, amplitude=8848.0, dim=32,
+                        tiles_per_block=32, interpret=None):
+    """Mixed-octave tile batch in one launch: rows32 is a (rows, 32) payload
+    (first 24 columns as build_payload_host; column 24 ignored here) and
+    octaves_rows a (rows,) f32 per-row octave count that is written into
+    column 24. Used by the fully-fused device frame step, where leaves of
+    different depths generate together (reference octave schedule,
+    main.cpp:827)."""
+    if interpret is None:
+        interpret = not pk._is_tpu()
+    rows32 = rows32.at[:, 24].set(octaves_rows)
+    call = _build_tile_call(kind, int(max_octaves), float(lacunarity),
+                            float(np.float32(gain)),
+                            float(np.float32(amplitude)), int(dim),
+                            int(n_tiles_padded), int(tiles_per_block),
+                            bool(interpret), per_row_octaves=True)
+    out = call(rows32, *pk._tables_for_kernel())
     return out.reshape(n_tiles_padded, dim, dim)
 
 

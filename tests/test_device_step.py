@@ -1,0 +1,97 @@
+"""The fully-fused device frame step vs the host engine (smooth sphere:
+amplitude 0 makes both paths' probes and tiles exactly zero, so leaf sets
+and images must agree)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+
+from planet_tpu.cache import device_pool as dp
+from planet_tpu.engine import device_step
+from planet_tpu.engine.config import EngineConfig
+from planet_tpu.engine.planet import PlanetEngine
+from planet_tpu.geom import camera as cam_mod, quadid
+from planet_tpu.nums import df as dfm
+
+W, H = 128, 96
+CFG = EngineConfig(window_w=W, window_h=H, amplitude=0.0, use_pallas=False,
+                   raster_supersample=2, cache_capacity=512)
+MAX_LOD = 5
+
+
+def _vp(cam):
+    rot = cam_mod.camera_rotation(cam)
+    pf = cam_mod.proj_factor_from_fovy(np.deg2rad(CFG.fovy_deg))
+    proj = cam_mod.perspective_lh(pf, W / H, CFG.near_plane, CFG.far_plane)
+    return (proj @ cam_mod.view_from_rotation(rot)).astype(np.float32)
+
+
+def test_device_step_matches_host_engine_smooth_sphere():
+    # pitch down to aim at the planet (the tangent base frame looks at the
+    # horizon by default)
+    cam = cam_mod.Camera(position=np.array([0.0, 0.0, -2.2 * CFG.radius]),
+                         angles=np.array([np.pi / 2, 0.0, 0.0], np.float32))
+    vp = _vp(cam)
+
+    # host path with zero probes + zero-amplitude terrain
+    eng = PlanetEngine(CFG, height_fn=lambda p: np.zeros(p.shape[:-1],
+                                                         np.float32))
+    # cap host refinement depth to MAX_LOD by monkeypatching config
+    host_cfg = dataclasses.replace(CFG)
+    object.__setattr__(eng, "config", host_cfg)
+    from planet_tpu.lod import refine as lod_refine
+    host = lod_refine.refine(cam.position, MAX_LOD, CFG.radius,
+                             height_fn=lambda p: np.zeros(p.shape[:-1],
+                                                          np.float32))
+
+    step = device_step.build_device_render(
+        CFG, W, H, cap=1024, gen_cap=256, max_lod=MAX_LOD, probe="zero",
+        interpret=True)
+    pool = dp.init(512, CFG.tile_dim)
+    cam_df = dfm.from_f64(cam.position)
+    pool, frame = step(pool, np.asarray(cam_df.hi), np.asarray(cam_df.lo),
+                       vp)
+
+    n = int(frame.n_leaves)
+    assert not bool(frame.overflowed)
+    assert n == len(host.ids)
+    assert int(frame.n_generated) == n      # cold cache, soft budget
+
+    # second frame, same camera: all hits, nothing generated
+    pool, frame2 = step(pool, np.asarray(cam_df.hi), np.asarray(cam_df.lo),
+                        vp)
+    assert int(frame2.n_generated) == 0
+    assert int(frame2.n_leaves) == n
+
+    img = np.asarray(frame2.image)
+    assert np.isfinite(img).all()
+    # a smooth sphere seen from 2.2R: a bright disc on black background
+    assert (img > 0).mean() > 0.3
+    assert (img == 0).mean() > 0.1
+
+    # and it must match the host engine's image of the same smooth sphere
+    out, himg, _ = eng.render(cam)
+    himg = np.asarray(himg)
+    same = (np.abs(himg - img) < 2e-2) | ((himg == 0) != (img == 0))
+    assert ((himg == 0) == (img == 0)).mean() > 0.98
+    lit = (himg > 0) & (img > 0)
+    assert np.abs(himg[lit] - img[lit]).max() < 2e-2
+
+
+def test_words_dfs_key_matches_host_order():
+    rng = np.random.default_rng(11)
+    ids = []
+    for _ in range(200):
+        f = int(rng.integers(0, 6))
+        d = int(rng.integers(0, 19))
+        digits = [int(c) for c in rng.integers(0, 4, d)]
+        ids.append(quadid.from_path(f, digits))
+    ids = np.array(ids, np.uint64)
+    host_keys = np.array([quadid.dfs_key(q) for q in ids], np.uint64)
+    lo, hi = quadid.to_words(ids)
+    import jax.numpy as jnp
+    khi, klo = quadid.words_dfs_key(jnp.asarray(lo), jnp.asarray(hi))
+    dev_order = np.lexsort((np.asarray(klo), np.asarray(khi)))
+    host_order = np.argsort(host_keys, kind="stable")
+    np.testing.assert_array_equal(dev_order, host_order)
