@@ -46,7 +46,6 @@ def main():
                        cfg.amplitude, use_pallas=on_tpu)
     if on_tpu:
         from planet_tpu.ops.kernels import tile_pallas
-        import jax.numpy as jnp
         n = corners.shape[0]
         # commit the payload to the device once — the steady-state loop
         # measures kernel throughput, not host->device link bandwidth

@@ -24,7 +24,7 @@ for the sharded streaming path) lives in cache/device_pool.py.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ mid-frame self-eviction churn is absent (see cache/device_pool.py).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

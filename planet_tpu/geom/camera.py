@@ -30,6 +30,21 @@ def perspective_lh(proj_factor: float, aspect_ratio: float,
     return m
 
 
+def ortho_lh(left: float, right: float, bottom: float, top: float,
+             near: float, far: float) -> np.ndarray:
+    """Left-handed orthographic projection mapping near -> -1, far -> 1
+    (reference Mat4OrthoLH, math.h:270-283)."""
+    m = np.zeros((4, 4), np.float32)
+    m[0, 0] = np.float32(2.0 / (right - left))
+    m[1, 1] = np.float32(2.0 / (top - bottom))
+    m[2, 2] = np.float32(2.0 / (far - near))
+    m[0, 3] = np.float32((right + left) / (left - right))
+    m[1, 3] = np.float32((top + bottom) / (bottom - top))
+    m[2, 3] = np.float32((far + near) / (near - far))
+    m[3, 3] = np.float32(1.0)
+    return m
+
+
 def proj_factor_from_fovy(fovy_rad: float) -> float:
     """1 / tan(fovy/2) (reference InitCameraInfo, main.cpp:527-535)."""
     return float(1.0 / np.tan(0.5 * np.float32(fovy_rad)))
@@ -110,3 +125,9 @@ def update_camera(cam: Camera, move: np.ndarray, look: np.ndarray,
     delta = (rot[:, 0] * move[0] + rot[:, 1] * move[1] + rot[:, 2] * move[2])
     cam.position = cam.position + delta.astype(np.float64) * (move_speed * dt)
     return rot
+
+
+def speed_for_digit(digit: int) -> float:
+    """Move speed for number keys 1-8: 10^digit m/s (reference
+    main.cpp:947-954)."""
+    return float(10.0 ** int(digit))

@@ -21,7 +21,6 @@ import numpy as np
 
 from planet_tpu.engine.config import EngineConfig
 from planet_tpu.engine.planet import PlanetEngine
-from planet_tpu.geom import camera as cam_mod
 from planet_tpu.io import checkpoint, png
 from planet_tpu.utils import timing
 

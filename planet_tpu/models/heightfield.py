@@ -13,7 +13,7 @@ main.cpp:338-346, shade main.cpp:369-381.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -197,13 +197,16 @@ def tiles_from_payload(rows, n_tiles_padded: int, *, kind="ridged",
 def tiles_mixed_octaves(rows32, octaves_rows, n_tiles_padded: int, *,
                         kind="ridged", max_octaves=18, lacunarity=2.0,
                         gain=0.55, amplitude=8848.0, dim=32,
-                        tiles_per_block=32, interpret=None):
+                        tiles_per_block=16, interpret=None):
     """Mixed-octave tile batch in one launch: rows32 is a (rows, 32) payload
     (first 24 columns as build_payload_host; column 24 ignored here) and
     octaves_rows a (rows,) f32 per-row octave count that is written into
     column 24. Used by the fully-fused device frame step, where leaves of
     different depths generate together (reference octave schedule,
-    main.cpp:827)."""
+    main.cpp:827).
+
+    Default 16 tiles/block: the deep 18-octave unroll at (256, 128) blocks
+    exceeds the 16 MB VMEM budget (measured 16.04M); (128, 128) fits."""
     if interpret is None:
         interpret = not pk._is_tpu()
     rows32 = rows32.at[:, 24].set(octaves_rows)

@@ -18,7 +18,6 @@ point grids instead, see parallel.facemesh.face_grid_points).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -16,9 +16,6 @@ the low bits — min() picks the nearest fragment and its shade rides along.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
