@@ -23,13 +23,23 @@ import time
 import numpy as np
 
 
+def _fetch(tree):
+    """Force a real device->host fetch (block_until_ready alone can return
+    early through the remote-TPU tunnel)."""
+    import jax
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    np.asarray(leaf).reshape(-1)[0]
+
+
 def _steady(fn, *args, iters=16):
     import jax
     out = fn(*args)
     jax.block_until_ready(out)
+    _fetch(out)
     t0 = time.perf_counter()
     outs = [fn(*args) for _ in range(iters)]
     jax.block_until_ready(outs)
+    _fetch(outs[-1])
     return (time.perf_counter() - t0) / iters
 
 
@@ -114,6 +124,7 @@ def config3():
         out = eng.frame(cam)
         quads += out.stats.quads
     jax.block_until_ready(out.vertex_shade)
+    _fetch(out.vertex_shade)
     dt = (time.perf_counter() - t0) / len(cams[4:])
     # reference pacing floor: 10 ms/frame (SDL_Delay, main.cpp:1095)
     _emit("config3_lod_frame_ms", dt * 1e3, "ms", 10.0)
@@ -133,12 +144,12 @@ def config4():
     import jax
     for _ in range(2):
         out, img, _ = eng.render(cam)
-        jax.block_until_ready(img)
+        _fetch(img)
     t0 = time.perf_counter()
     iters = 8
     for _ in range(iters):
         out, img, _ = eng.render(cam)
-        jax.block_until_ready(img)
+    _fetch(img)
     dt = (time.perf_counter() - t0) / iters
     _emit("config4_fullframe_1080p_ms", dt * 1e3, "ms", 10.0)
 

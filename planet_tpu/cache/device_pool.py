@@ -62,20 +62,22 @@ def plan(found, parent_found, depth, budget: int):
     """The reference GetHeightMapForQuad policy over one frame's leaves in
     order (main.cpp:191-278): returns (generate, use_crop) masks.
 
-    generate = miss AND (budget not yet exhausted OR no cached parent) —
-    the running generation count is sequential (earlier leaves consume the
-    budget first), so it is a lax.scan carry.
+    The sequential recurrence (each generation decrements the budget for
+    later leaves; misses without a cached parent generate even over budget)
+    has a closed form, because the generation count is nondecreasing: until
+    the count first reaches the budget EVERY miss generates, so the count
+    equals the running miss count; after that, every croppable miss is
+    rejected forever. Hence
+
+        generate_i = miss_i & (no_parent_i | misses_before_i < budget)
+
+    — one exclusive cumsum instead of a lax.scan (which measured ~0.45 ms
+    per element on TPU and made the device frame step O(cap) sequential).
     """
     miss = ~found
     can_crop = parent_found & (depth > 0)
-
-    def step(count, inputs):
-        m, crop_ok = inputs
-        vol_ok = count < budget
-        gen = m & (vol_ok | ~crop_ok)
-        return count + gen.astype(_I32), gen
-
-    _, generate = jax.lax.scan(step, jnp.int32(0), (miss, can_crop))
+    misses_before = jnp.cumsum(miss.astype(_I32)) - miss.astype(_I32)
+    generate = miss & (~can_crop | (misses_before < budget))
     use_crop = miss & ~generate
     return generate, use_crop
 

@@ -43,6 +43,8 @@ class ResolvedTiles:
     rect_lo: np.ndarray      # (L, 2) f32 tile-rect UV corners
     rect_hi: np.ndarray      # (L, 2) f32
     pixel_size: np.ndarray   # (L, 2) f32
+    variant_x: np.ndarray    # (L,) int32: 0 full, 1 crop-lo, 2 crop-hi
+    variant_y: np.ndarray    # (L,) int32
     generate_mask: np.ndarray  # (L,) bool — leaves whose tile must be generated
     generated: int           # how many generations this frame consumed
 
@@ -104,6 +106,8 @@ class TilePool:
         rect_lo = np.zeros((n, 2), np.float32)
         rect_hi = np.zeros((n, 2), np.float32)
         pix = np.zeros((n, 2), np.float32)
+        vx = np.zeros(n, np.int32)
+        vy = np.zeros(n, np.int32)
         gen = np.zeros(n, bool)
 
         full_lo = np.float32(1.5 / dim)
@@ -137,6 +141,8 @@ class TilePool:
                         rect_lo[i] = (x0 / dim, y0 / dim)
                         rect_hi[i] = (x1 / dim, y1 / dim)
                         pix[i] = crop_pix
+                        vx[i] = 1 + (child & 1)
+                        vy[i] = 1 + ((child >> 1) & 1)
                         use_crop = True
                 if not use_crop:
                     left -= 1
@@ -151,8 +157,8 @@ class TilePool:
             slot[i] = s
 
         return ResolvedTiles(slot=slot, rect_lo=rect_lo, rect_hi=rect_hi,
-                             pixel_size=pix, generate_mask=gen,
-                             generated=generated)
+                             pixel_size=pix, variant_x=vx, variant_y=vy,
+                             generate_mask=gen, generated=generated)
 
     def store(self, slots: np.ndarray, new_tiles: jnp.ndarray):
         """Scatter freshly generated tiles into the device pool."""

@@ -61,11 +61,23 @@ def _roots_static(radius: float):
 
 
 def build_device_render(cfg: EngineConfig, width: int, height: int, *,
-                        cap: int = 4096, gen_cap: int = 256,
-                        max_lod: int = None, probe: str = "ridged6",
-                        interpret: bool = None):
+                        cap: int = 4096, render_cap: int = 512,
+                        gen_cap: int = 256, max_lod: int = None,
+                        probe: str = "ridged6", interpret: bool = None,
+                        stop_after: str = "full"):
     """Returns jitted fn(pool, cam_hi (3,), cam_lo (3,), view_proj (4, 4))
-    -> (pool', DeviceFrame)."""
+    -> (pool', DeviceFrame).
+
+    cap bounds the refinement frontier/leaf buffers; render_cap bounds the
+    leaves actually cached+generated+drawn per frame (the DFS sort puts
+    active leaves first, so slicing after the sort keeps exactly the first
+    render_cap leaves; more sets the overflow flag). Fragment count — and
+    the raster scatter, the frame's dominant fixed cost — scales with
+    render_cap, not cap.
+
+    stop_after: "full" | "refine" | "cache" | "generate" | "uniforms" |
+    "tess" — debug knob that truncates the program for stage-cost
+    bisection (truncated stages return a zero image)."""
     max_lod = cfg.max_lod if max_lod is None else int(max_lod)
     root_lo, root_hi, root_ch, root_cl = _roots_static(cfg.radius)
     dim = cfg.tile_dim
@@ -95,11 +107,27 @@ def build_device_render(cfg: EngineConfig, width: int, height: int, *,
         khi = jnp.where(active, khi, jnp.int32(2**31 - 1))
         perm1 = jnp.argsort(klo, stable=True)
         perm = perm1[jnp.argsort(khi[perm1], stable=True)]
-        q_lo = ref.leaf_lo[perm]
-        q_hi = ref.leaf_hi[perm]
-        c_hi = ref.leaf_corners_hi[perm]
-        c_lo = ref.leaf_corners_lo[perm]
-        depth = ref.leaf_depth[perm]
+        # materialize the permuted leaf arrays: without the barrier XLA
+        # fuses the permutation gather into every downstream consumer and
+        # recomputes it dozens of times (measured ~10x stage cost)
+        perm = perm[:render_cap]
+        q_lo, q_hi, c_hi, c_lo, depth = jax.lax.optimization_barrier(
+            (ref.leaf_lo[perm], ref.leaf_hi[perm],
+             ref.leaf_corners_hi[perm], ref.leaf_corners_lo[perm],
+             ref.leaf_depth[perm]))
+        overflow_render = n > render_cap
+        n = jnp.minimum(n, render_cap)
+        row = jnp.arange(render_cap)
+        active = row < n
+
+        def early(pool):
+            z = jnp.zeros((height, width), _F32)
+            return pool, DeviceFrame(
+                image=z, depth=z, n_leaves=n, n_generated=jnp.int32(0),
+                overflowed=ref.overflowed | overflow_render)
+
+        if stop_after == "refine":
+            return early(pool)
 
         # ------------------------------------------------ 2. cache plan
         slot, found = dp.probe(pool, q_lo, q_hi)
@@ -114,6 +142,9 @@ def build_device_render(cfg: EngineConfig, width: int, height: int, *,
         pool, tgt, n_over = dp.allocate(pool, generate, q_lo, q_hi,
                                         max_gen=gen_cap)
         gen_ok = generate & (tgt >= 0)
+
+        if stop_after == "cache":
+            return early(pool)
 
         # ------------------------------------------------ 3. generation
         # compact generating leaves into gen_cap payload slots
@@ -133,8 +164,8 @@ def build_device_render(cfg: EngineConfig, width: int, height: int, *,
         payload = jnp.zeros((gen_cap + 1, 32), _F32)
         per_tile = jnp.concatenate(
             [jnp.stack([sc_h.transpose(0, 2, 1), sc_l.transpose(0, 2, 1)],
-                       axis=-1).reshape(cap, 24),
-             jnp.zeros((cap, 8), _F32)], axis=1)    # (cap, 32)
+                       axis=-1).reshape(render_cap, 24),
+             jnp.zeros((render_cap, 8), _F32)], axis=1)
         payload = payload.at[gtgt].set(per_tile)[:gen_cap]
         octs = (6 + (12 * depth) // cfg.max_lod).astype(_F32)
         oct_slots = jnp.zeros((gen_cap + 1,), _F32).at[gtgt].set(octs)[:gen_cap]
@@ -154,28 +185,15 @@ def build_device_render(cfg: EngineConfig, width: int, height: int, *,
         slot = jnp.where(gen_ok, tgt, jnp.where(use_crop, p_slot, slot))
         pool = dp.touch(pool, slot, active)
 
-        # ------------------------------------------------ 4. rects/uniforms
+        if stop_after == "generate":
+            return early(pool)
+
+        # ------------------------------------------------ 4. rect variants
+        # (crop quadrant by child index, main.cpp:216-237, as blend-matrix
+        # variant selectors)
         child = quadid.words_child_index(q_lo, q_hi)
-        fl = np.float32(1.5 / dim)
-        fh = np.float32((dim - 1.5) / dim)
-        x0 = jnp.where((child == 1) | (child == 3),
-                       np.float32((dim / 2 + 0.5) / dim), fl)
-        x1 = jnp.where((child == 1) | (child == 3),
-                       np.float32((dim - 1.5) / dim),
-                       np.float32((dim / 2 - 0.5) / dim))
-        y0 = jnp.where((child == 2) | (child == 3),
-                       np.float32((dim / 2 + 0.5) / dim), fl)
-        y1 = jnp.where((child == 2) | (child == 3),
-                       np.float32((dim - 1.5) / dim),
-                       np.float32((dim / 2 - 0.5) / dim))
-        rect_lo = jnp.where(use_crop[:, None], jnp.stack([x0, y0], -1),
-                            jnp.full((cap, 2), fl))
-        rect_hi = jnp.where(use_crop[:, None], jnp.stack([x1, y1], -1),
-                            jnp.full((cap, 2), fh))
-        pix = jnp.where(
-            use_crop[:, None],
-            np.float32(((dim / 2.0 - 1.0) / (dim - 3)) / dim),
-            np.float32(1.0 / dim)) * jnp.ones((cap, 2), _F32)
+        vx = jnp.where(use_crop, 1 + (child & 1), 0).astype(_I32)
+        vy = jnp.where(use_crop, 1 + ((child >> 1) & 1), 0).astype(_I32)
 
         # camera-relative f32 corners (DF subtract then narrow — the
         # reference's main.cpp:666-672 order of operations)
@@ -193,22 +211,73 @@ def build_device_render(cfg: EngineConfig, width: int, height: int, *,
             / jnp.exp2(d1.astype(_F32) + 1.0),
             np.float32(cfg.max_skirt_size))
 
+        if stop_after == "uniforms":
+            pool2, fr = early(pool)
+            probe_sum = (jnp.sum(vx.astype(_F32)) + jnp.sum(skirt)
+                         + jnp.sum(corners_rel) + jnp.sum(normals))
+            return pool2, fr._replace(
+                image=jnp.zeros((height, width), _F32) + probe_sum * 0.0)
+
         # ------------------------------------------------ 5. tess + raster
         pool_tiles = dp.gather(pool, slot)
-        pv = vertex.tessellate(corners_rel, normals, pool_tiles,
-                               rect_lo, rect_hi, pix, skirt,
-                               view_proj, grid=dim)
+        pool_tiles = jax.lax.optimization_barrier(pool_tiles)
+        pv = vertex.tessellate_blend(corners_rel, normals, pool_tiles,
+                                     vx, vy, skirt, view_proj, grid=dim)
         vshade = shade_mod.lambert(pv.normal)
+        # barrier again: without it the raster's k*k cell supersampling
+        # rematerializes the whole tessellation chain per sample offset
+        pv, vshade = jax.lax.optimization_barrier((pv, vshade))
+        if stop_after == "tess":
+            pool2, fr = early(pool)
+            return pool2, fr._replace(image=jnp.zeros((height, width), _F32)
+                                      + jnp.sum(vshade) * 0.0)
         valid = active[:, None, None] & grid_mask[None, :, :]
+        if stop_after == "geometry":
+            pool = dp.end_frame(pool)
+            meta = (n, jnp.sum(gen_ok.astype(_I32)),
+                    ref.overflowed | overflow_render | (n_over > 0))
+            return pool, (pv, vshade, valid, meta)
         facing = jnp.sum(pv.world * pv.snormal, axis=-1) < 0.0
         c, s, v = splat.upsample_cells(pv.clip, vshade, valid & facing,
                                        cfg.raster_supersample)
         image, depthbuf = splat.splat_frame(c, s, v, width, height)
 
         pool = dp.end_frame(pool)
-        frame = DeviceFrame(image=image, depth=depthbuf, n_leaves=n,
-                            n_generated=jnp.sum(gen_ok.astype(_I32)),
-                            overflowed=ref.overflowed | (n_over > 0))
+        frame = DeviceFrame(
+            image=image, depth=depthbuf, n_leaves=n,
+            n_generated=jnp.sum(gen_ok.astype(_I32)),
+            overflowed=ref.overflowed | overflow_render | (n_over > 0))
         return pool, frame
 
     return jax.jit(step, donate_argnums=0)
+
+
+class DeviceRenderer:
+    """Two-dispatch device frame: the fused geometry step (refine -> cache ->
+    generate -> tessellate) in one jit, then the splat raster as its own jit.
+
+    Splitting the raster out is a measured workaround: inside the mega-
+    program XLA lowers the framebuffer scatter ~30x slower than the same
+    scatter compiled standalone (~0.1 vs ~3 Gfragments/s on v5e).
+    """
+
+    def __init__(self, cfg: EngineConfig, width: int, height: int, **kw):
+        from planet_tpu.engine.planet import _raster_fn
+        self.cfg = cfg
+        self.width, self.height = int(width), int(height)
+        self._geom = build_device_render(cfg, self.width, self.height,
+                                         stop_after="geometry", **kw)
+        self._raster = _raster_fn(self.width, self.height,
+                                  cfg.raster_supersample, False)
+
+    def init_pool(self) -> dp.PoolState:
+        return dp.init(self.cfg.cache_capacity, self.cfg.tile_dim)
+
+    def render(self, pool, cam_hi, cam_lo, view_proj):
+        pool, (pv, vshade, valid, meta) = self._geom(pool, cam_hi, cam_lo,
+                                                     view_proj)
+        image, depthbuf = self._raster(pv.clip, vshade, valid, pv.world,
+                                       pv.snormal)
+        n, n_gen, overflowed = meta
+        return pool, DeviceFrame(image=image, depth=depthbuf, n_leaves=n,
+                                 n_generated=n_gen, overflowed=overflowed)

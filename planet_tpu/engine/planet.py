@@ -102,11 +102,11 @@ def _gen_tiles_fn(octaves: int, dim: int, lacunarity: float, gain: float,
 
 @functools.lru_cache(maxsize=None)
 def _tess_shade_fn():
-    def fn(pool_tiles, slots, corners_rel, normals, rect_lo, rect_hi,
-           pixel_size, skirt, view_proj):
+    def fn(pool_tiles, slots, corners_rel, normals, variant_x, variant_y,
+           skirt, view_proj):
         tiles = jnp.take(pool_tiles, slots, axis=0)
-        pv = vertex.tessellate(corners_rel, normals, tiles, rect_lo, rect_hi,
-                               pixel_size, skirt, view_proj)
+        pv = vertex.tessellate_blend(corners_rel, normals, tiles,
+                                     variant_x, variant_y, skirt, view_proj)
         return pv, shade_mod.lambert(pv.normal)
 
     return jax.jit(fn)
@@ -234,14 +234,13 @@ class PlanetEngine:
             [c.skirt_size_for_depth(d) * skirt_scale for d in res.depths],
             np.float32))
         slots = pad_rows(resolved.slot.astype(np.int32))
-        rect_lo = pad_rows(resolved.rect_lo)
-        rect_hi = pad_rows(resolved.rect_hi)
-        pix = pad_rows(resolved.pixel_size)
+        vx = pad_rows(resolved.variant_x)
+        vy = pad_rows(resolved.variant_y)
 
         pv, vshade = _tess_shade_fn()(
             self.pool.tiles, jnp.asarray(slots), jnp.asarray(corners_rel),
-            jnp.asarray(normals), jnp.asarray(rect_lo), jnp.asarray(rect_hi),
-            jnp.asarray(pix), jnp.asarray(skirt), jnp.asarray(view_proj))
+            jnp.asarray(normals), jnp.asarray(vx), jnp.asarray(vy),
+            jnp.asarray(skirt), jnp.asarray(view_proj))
 
         self.pool.end_frame()
 

@@ -51,8 +51,12 @@ def splat_frame(clip, shade, valid, width: int, height: int,
 
     n_pix = width * height
     idx = jnp.where(inb, py * width + px, n_pix)       # dump slot for culled
+    # materialize indices/values before the scatter: fused into the scatter
+    # loop they run at scalar speed (measured 17 ns/fragment on v5e)
+    idx, packed = jax.lax.optimization_barrier(
+        (idx.reshape(-1), packed.reshape(-1)))
     buf = jnp.full((n_pix + 1,), _EMPTY, _I32)
-    buf = buf.at[idx.reshape(-1)].min(packed.reshape(-1))
+    buf = buf.at[idx].min(packed)
     img_packed = buf[:n_pix].reshape(height, width)
 
     for _ in range(fill_rounds):

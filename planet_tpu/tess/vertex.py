@@ -20,6 +20,7 @@ fuses and tiles onto the VPU. All math is float32, matching the GPU shader.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -106,6 +107,80 @@ def sample_bilinear(tile, u, v):
     return _lerp(_lerp(t00, t10, fx), _lerp(t01, t11, fx), fy)
 
 
+@functools.lru_cache()
+def blend_matrices(dim: int = 32, n: int = mesh.PATCH_VERTS):
+    """Static bilinear sampling as blend matrices.
+
+    The engine only ever samples tiles at THREE rect variants per axis
+    (GetHeightMapForQuad, main.cpp:197-237): the full-tile rect
+    [1.5/dim, (dim-1.5)/dim] and the two parent-crop half rects. For the
+    full rect the patch grid hits texel CENTERS exactly (su = 1 + (n-1)u =
+    the grid index — the reference's overscan parameterization is built for
+    it), and for crops the fractional weights depend only on the grid index.
+    So sampling is a constant sparse linear map per (variant, tap):
+    matrices W[v, t, out, in] with <=2 nonzeros per row, applied with
+    batched matmuls — no dynamic gathers (XLA's general gather measured
+    ~27 ns/element on v5e; these matmuls are ~1000x faster).
+
+    Returns (3, 3, dim, dim) f32: [variant 0=full,1=crop-lo,2=crop-hi;
+    tap 0=-pixel,1=center,2=+pixel]."""
+    params = [
+        (1.5, dim - 1.5, 1.0),
+        (1.5, dim / 2 - 0.5, (dim / 2 - 1) / (n - 1)),
+        (dim / 2 + 0.5, dim - 1.5, (dim / 2 - 1) / (n - 1)),
+    ]
+    g = n + 2
+    w = np.zeros((3, 3, g, dim), np.float32)
+    for v, (lo, hi, pix_texels) in enumerate(params):
+        for ti, t in enumerate((-1.0, 0.0, 1.0)):
+            for j in range(g):
+                u = min(max(j - 1, 0), n - 1) / (n - 1)
+                su = (lo + (hi - lo) * u) + t * pix_texels - 0.5
+                x0 = int(np.floor(su))
+                fx = su - x0
+                xa = min(max(x0, 0), dim - 1)
+                xb = min(max(x0 + 1, 0), dim - 1)
+                w[v, ti, j, xa] += np.float32(1.0 - fx)
+                w[v, ti, j, xb] += np.float32(fx)
+    return w
+
+
+def tessellate_blend(corners_rel, corner_normals, tiles, variant_x,
+                     variant_y, skirt_size, view_proj,
+                     grid: int = mesh.GRID):
+    """tessellate() with blend-matrix tile sampling (see blend_matrices).
+
+    variant_x/y: (Q,) int32 in {0, 1, 2} selecting the rect variant per
+    axis (0 = full tile; 1/2 = parent-crop low/high half)."""
+    q = corners_rel.shape[0]
+    dim = tiles.shape[-1]
+    w = jnp.asarray(blend_matrices(dim, grid - 2))     # (3, 3, G, dim)
+    wx = jnp.take(w, variant_x, axis=0)                # (Q, 3, G, dim)
+    wy = jnp.take(w, variant_y, axis=0)
+
+    tiles = tiles.astype(_F32)
+
+    def xblend(tap):
+        # t1[q, y, ox] = sum_ix tiles[q, y, ix] * wx[q, tap, ox, ix]
+        return jnp.einsum('qyi,qoi->qyo', tiles, wx[:, tap],
+                          preferred_element_type=jnp.float32)
+
+    def yblend(t1, tap):
+        # out[q, oy, ox] = sum_iy wy[q, tap, oy, iy] * t1[q, iy, ox]
+        return jnp.einsum('qai,qib->qab', wy[:, tap], t1,
+                          preferred_element_type=jnp.float32)
+
+    tc = xblend(1)
+    hgt = yblend(tc, 1)
+    y0 = yblend(tc, 0)
+    y1 = yblend(tc, 2)
+    x0 = yblend(xblend(0), 1)
+    x1 = yblend(xblend(2), 1)
+
+    return _assemble(corners_rel, corner_normals, hgt, x0, x1, y0, y1,
+                     skirt_size, view_proj, q, grid)
+
+
 def tessellate(corners_rel, corner_normals, tiles, rect_lo, rect_hi,
                pixel_size, skirt_size, view_proj, grid: int = mesh.GRID):
     """The full vertex program over a batch of quads.
@@ -125,22 +200,9 @@ def tessellate(corners_rel, corner_normals, tiles, rect_lo, rect_hi,
     Returns PatchVertices with (Q, grid, grid, ...) arrays.
     """
     q = corners_rel.shape[0]
-    u2d, v2d, skirt2d, _ = mesh.grid_uv_skirt(grid - 2)
+    u2d, v2d, _, _ = mesh.grid_uv_skirt(grid - 2)
     uu = jnp.asarray(u2d)[None, :, :, None]      # (1, G, G, 1)
     vv = jnp.asarray(v2d)[None, :, :, None]
-    sk = jnp.asarray(skirt2d)[None, :, :]        # (1, G, G)
-
-    c = corners_rel.astype(_F32)
-    n = corner_normals.astype(_F32)
-
-    def corner(i):
-        return (c[:, i, None, None, :], n[:, i, None, None, :])
-
-    (p0, n0), (p1, n1), (p2, n2), (p3, n3) = (corner(i) for i in range(4))
-
-    pa, na = interpolate(p0, n0, p1, n1, uu)     # row 1 at u
-    pb, nb = interpolate(p2, n2, p3, n3, uu)     # row 2 at u
-    pv, nv = interpolate(pa, na, pb, nb, vv)     # blended at v
 
     # Tile UV: mix(rect_lo, rect_hi, (u, v)) per quad.
     lo = rect_lo.astype(_F32)[:, None, None, :]
@@ -162,6 +224,31 @@ def tessellate(corners_rel, corner_normals, tiles, rect_lo, rect_hi,
 
     hgt, x0, x1, y0, y1 = jax.vmap(sample_all)(
         tiles.astype(_F32), tu, tv, pu, pvs)
+
+    return _assemble(corners_rel, corner_normals, hgt, x0, x1, y0, y1,
+                     skirt_size, view_proj, q, grid)
+
+
+def _assemble(corners_rel, corner_normals, hgt, x0, x1, y0, y1, skirt_size,
+              view_proj, q, grid):
+    """Shared tail of the vertex program: corner interpolation, skirt drop,
+    central-difference normals + TBN, clip transform (main.cpp:338-367)."""
+    u2d, v2d, skirt2d, _ = mesh.grid_uv_skirt(grid - 2)
+    uu = jnp.asarray(u2d)[None, :, :, None]
+    vv = jnp.asarray(v2d)[None, :, :, None]
+    sk = jnp.asarray(skirt2d)[None, :, :]
+
+    c = corners_rel.astype(_F32)
+    n = corner_normals.astype(_F32)
+
+    def corner(i):
+        return (c[:, i, None, None, :], n[:, i, None, None, :])
+
+    (p0, n0), (p1, n1), (p2, n2), (p3, n3) = (corner(i) for i in range(4))
+
+    pa, na = interpolate(p0, n0, p1, n1, uu)     # row 1 at u
+    pb, nb = interpolate(p2, n2, p3, n3, uu)     # row 2 at u
+    pv, nv = interpolate(pa, na, pb, nb, vv)     # blended at v
 
     height = hgt - skirt_size.astype(_F32)[:, None, None] * sk
 

@@ -15,9 +15,10 @@ from planet_tpu.io import png
 W, H = 1920, 1080
 CFG = EngineConfig(window_w=W, window_h=H, raster_supersample=8)
 
-step = device_step.build_device_render(CFG, W, H, cap=4096, gen_cap=256,
-                                       probe="ridged6", interpret=False)
-pool = dp.init(CFG.cache_capacity, CFG.tile_dim)
+renderer = device_step.DeviceRenderer(CFG, W, H, cap=4096, gen_cap=256,
+                                      probe="ridged6", interpret=False)
+step = renderer.render
+pool = renderer.init_pool()
 
 r = CFG.radius + 50000.0
 
