@@ -20,13 +20,12 @@ for l_pad in (256, 2048):
     corners = (base + rng.standard_normal((l_pad, 4, 3)) * 1e3).astype(np.float32)
     normals = rng.standard_normal((l_pad, 4, 3)).astype(np.float32)
     normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
-    rect_lo = np.full((l_pad, 2), 1.5 / 32, np.float32)
-    rect_hi = np.full((l_pad, 2), 30.5 / 32, np.float32)
-    pix = np.full((l_pad, 2), 1 / 32, np.float32)
+    vx = np.zeros(l_pad, np.int32)
+    vy = np.zeros(l_pad, np.int32)
     skirt = np.full((l_pad,), 100.0, np.float32)
     vp = np.eye(4, dtype=np.float32)
     args = tuple(jax.device_put(a) for a in
-                 (slots, corners, normals, rect_lo, rect_hi, pix, skirt, vp))
+                 (slots, corners, normals, vx, vy, skirt, vp))
     out = f(pool_tiles, *args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
