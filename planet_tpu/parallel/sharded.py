@@ -33,8 +33,9 @@ from planet_tpu.raster import shade as shade_mod
 _F32 = jnp.float32
 
 
-def make_mesh(n_devices: Optional[int] = None, axis: str = "rows") -> Mesh:
-    devs = jax.devices()
+def make_mesh(n_devices: Optional[int] = None, axis: str = "rows",
+              devices=None) -> Mesh:
+    devs = list(devices) if devices is not None else jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
