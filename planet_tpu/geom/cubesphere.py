@@ -15,7 +15,7 @@ the center onto the sphere: VERT(i,j) = normalize(p_i + p_j) * radius
 
 All functions here are host-side float64 (numpy): the reference keeps quad
 corners in double, and corner derivation is cheap compared to tile
-generation. The device-side double-float variants live in geom/subdiv_df.py.
+generation. The device-side double-float variants live in lod/refine_device.py.
 """
 
 from __future__ import annotations
