@@ -1,23 +1,32 @@
-"""Headline benchmark: production-terrain texel throughput on one TPU chip.
+"""Headline benchmark + BASELINE metric set on one TPU chip.
 
-Measures the engine's hottest path — batched 32x32 heightmap tile
-generation with the fused Pallas ridged-noise kernel at the production
-octave count (6, the depth-0 terrain, reference main.cpp:823-832).
+Reports the three numbers BASELINE.json's metric line names:
+  * fBm/ridged texel throughput (headline `value`) — batched 32x32 tile
+    generation with the fused Pallas ridged kernel at the production
+    octave count (6; reference terrain chain main.cpp:823-832),
+  * p50 frame-step ms — the full 6x2048^2 cube-sphere regen + normals +
+    shade frame as ONE jitted program (config-2/north-star shape; points
+    generated on device in double-float, parallel/facemesh.py),
+  * patches tessellated/sec — the batched vertex program
+    (tess/vertex.tessellate_blend) over 512-patch batches,
+plus the 1920x1080 LOD engine frame time (refine -> cache -> generate ->
+tessellate -> exact-coverage raster, engine/device_step.DeviceRenderer).
 
-Timing methodology: the dev chip sits behind a network tunnel whose
-dispatch/fetch behavior skews wall clocks in both directions, so on TPU the
-kernel time comes from the hardware trace (xplane) — the custom-call's
-device self-time across many queued launches. Falls back to wall clock.
+Timing: the dev chip sits behind a network tunnel, so the headline kernel
+number comes from the hardware trace (xplane custom-call self time) when
+available; whole-frame numbers use deep-queue wall clock (N dispatches
+queued, one final fetch) which amortizes dispatch latency to ~device time.
 
 Baseline: the reference's architectural tile-generation ceiling is
 100 tiles x 32x32 texels per frame at its 100 fps pacing cap
 (main.cpp:653, 194, 1095) = 10.24e6 texels/s. vs_baseline is ours/theirs.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 import glob
 import json
+import sys
 import tempfile
 import time
 
@@ -51,15 +60,26 @@ def _kernel_time_from_trace(outdir: str) -> float:
     return best / 1e12
 
 
-def main():
+def _queue_time(fn, args, iters, warmup=2):
+    """Deep-queue wall time per call: queue `iters` dispatches, block once."""
     import jax
 
-    from planet_tpu.engine.config import EngineConfig
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(iters)]
+    jax.block_until_ready(outs)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_texels(cfg):
+    """Headline: ridged-6 tile-generation texel throughput."""
+    import jax
+
     from planet_tpu.engine.planet import _gen_tiles_fn
     from planet_tpu.lod import refine as lod_refine
     from planet_tpu.nums import df as dfm
-
-    cfg = EngineConfig()
 
     cam_pos = np.array([0.0, 0.0, -1.2 * cfg.radius])
     res = lod_refine.refine(cam_pos, cfg.max_lod, cfg.radius)
@@ -99,20 +119,134 @@ def main():
         except Exception:
             dt = None
     if dt is None:                               # wall-clock fallback
-        iters = ITERS if on_tpu else 2
-        t0 = time.perf_counter()
-        outs = [fn(*args) for _ in range(iters)]
-        jax.block_until_ready(outs)
-        _ = np.asarray(outs[-1][0, 0, 0])
-        dt = (time.perf_counter() - t0) / iters
+        dt = _queue_time(fn, args, ITERS if on_tpu else 2)
+    return texels / dt
 
-    rate = texels / dt
+
+def bench_frame_2048(cfg):
+    """p50 frame-step ms: 6x2048^2 regen + normals + shade, one program."""
+    import jax
+    import jax.numpy as jnp
+
+    from planet_tpu.models import heightfield
+    from planet_tpu.parallel import facemesh
+    from planet_tpu.raster import shade as shade_mod
+
+    on_tpu = jax.default_backend() == "tpu"
+    n = 2048 if on_tpu else 128
+    xyscale = (np.pi / 2) * cfg.radius / n
+
+    def frame(tick):
+        px, py, pz = facemesh.face_grid_points_df(n, cfg.radius)
+        h = heightfield.heights_df(px, py, pz, kind="ridged", octaves=6,
+                                   use_pallas=on_tpu)
+        h = h + tick * jnp.float32(0.0)          # keep a live input
+        h_rows = jnp.concatenate([h[:, :1], h, h[:, -1:]], axis=1)
+        h_pad = jnp.concatenate(
+            [h_rows[:, :, :1], h_rows, h_rows[:, :, -1:]], axis=2)
+        normal = heightfield.normals_from_heights(h_pad, xyscale)
+        return h, shade_mod.lambert(normal)
+
+    fn = jax.jit(frame)
+    times = []
+    for _ in range(3):
+        times.append(_queue_time(fn, (jnp.float32(0),), 8 if on_tpu else 1))
+    return float(np.median(times) * 1e3)
+
+
+def bench_tess(cfg):
+    """Patches tessellated per second (vertex program throughput)."""
+    import jax
+    import jax.numpy as jnp
+
+    from planet_tpu.tess import vertex
+
+    q = 512
+    rng = np.random.default_rng(0)
+    r = cfg.radius
+    corners = rng.normal(0, 1, (q, 4, 3))
+    corners /= np.linalg.norm(corners, axis=-1, keepdims=True)
+    normals = corners.astype(np.float32)
+    corners_rel = (corners * r - np.array([0, 0, -1.001 * r])).astype(np.float32)
+    tiles = rng.normal(0, 1000, (q, cfg.tile_dim, cfg.tile_dim)).astype(np.float32)
+    vx = np.zeros(q, np.int32)
+    vy = np.zeros(q, np.int32)
+    skirt = np.full(q, 100.0, np.float32)
+    vp = np.eye(4, dtype=np.float32)
+
+    fn = jax.jit(lambda *a: vertex.tessellate_blend(*a))
+    args = tuple(jnp.asarray(a) for a in
+                 (corners_rel, normals, tiles, vx, vy, skirt, vp))
+    on_tpu = jax.default_backend() == "tpu"
+    dt = _queue_time(fn, args, ITERS if on_tpu else 2)
+    return q / dt
+
+
+def bench_lod_frame(cfg):
+    """1920x1080 LOD engine frame (geometry + exact raster), ms."""
+    import jax
+    import jax.numpy as jnp
+
+    from planet_tpu.engine.device_step import DeviceRenderer
+    from planet_tpu.geom import camera as cam_mod
+    from planet_tpu.nums import df as dfm
+
+    on_tpu = jax.default_backend() == "tpu"
+    size = (1920, 1080) if on_tpu else (320, 180)
+    r = DeviceRenderer(cfg, *size)
+    pool = r.init_pool()
+
+    cdir = np.array([0.2, 0.5, -0.8])
+    cdir /= np.linalg.norm(cdir)
+    cam_pos = cdir * (cfg.radius + 20000.0)
+    cam = cam_mod.Camera(position=cam_pos,
+                         angles=np.array([0.35, 0.3, 0.0], np.float32))
+    rot = cam_mod.camera_rotation(cam)
+    pf = cam_mod.proj_factor_from_fovy(np.deg2rad(cfg.fovy_deg))
+    proj = cam_mod.perspective_lh(pf, size[0] / size[1], cfg.near_plane,
+                                  cfg.far_plane)
+    vp = jnp.asarray((proj @ cam_mod.view_from_rotation(rot)).astype(np.float32))
+    ch, cl = dfm.from_f64_np(cam_pos)
+    ch, cl = jnp.asarray(ch), jnp.asarray(cl)
+
+    # warm up + fill the tile cache (steady state: no generation churn)
+    for _ in range(3):
+        pool, frame = r.render(pool, ch, cl, vp)
+    jax.block_until_ready(frame.image)
+
+    iters = 8 if on_tpu else 1
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        pool, frame = r.render(pool, ch, cl, vp)
+    jax.block_until_ready(frame.image)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    from planet_tpu.engine.config import EngineConfig
+
+    cfg = EngineConfig()
+    extra = {}
+
+    rate = bench_texels(cfg)
+
+    for name, fn in (("frame_step_2048_p50_ms", bench_frame_2048),
+                     ("patches_tessellated_per_s", bench_tess),
+                     ("lod_frame_1080p_ms", bench_lod_frame)):
+        try:
+            extra[name] = round(fn(cfg), 2)
+        except Exception as e:                   # report, never die
+            extra[name] = None
+            print(f"bench {name} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
     baseline = 100 * 32 * 32 * 100.0    # reference ceiling: 10.24e6/s
     print(json.dumps({
         "metric": "ridged6_tile_texel_throughput",
         "value": round(rate, 1),
         "unit": "texels/s",
         "vs_baseline": round(rate / baseline, 2),
+        "extra": extra,
     }))
 
 

@@ -381,6 +381,149 @@ static void mat4_mul(const M4 a, const M4 b, M4 out) {
         }
 }
 
+// ------------------------------------------------ raster (coverage spec)
+//
+// Scalar restatement of the exact-coverage raster spec shared with
+// planet_tpu/raster/coverage.py (itself the TPU re-expression of the
+// reference's GL draw: strip main.cpp:427-474, GL state main.cpp:811-816,
+// fragment shade main.cpp:369-381): 1/16-subpixel snapped f32 edge
+// functions, top-left fill rule in y-down screen space, CW-front culling,
+// perspective-correct normal interpolation, packed (21-bit depth, 10-bit
+// shade) LEQUAL depth test.
+
+static const int32_t kEmpty = 0x7fffffff;
+static const int kDepthBits = 21, kShadeBits = 10;
+
+static inline float snap16(float v) { return rintf(v * 16.0f) * 0.0625f; }
+
+struct RVert { float x, y, z, iw; V3f niw; };  // snapped screen + varyings
+
+// triangle strip of the reference patch (main.cpp:427-474), decoded to a
+// parity-normalized triangle list over the 1020-entry vertex list
+static std::vector<uint32_t> build_strip(int n) {
+    std::vector<uint32_t> idx;
+    int quads = n - 1;
+    uint32_t v0 = 0, v1 = (uint32_t)(n + 1);
+    for (int i = 0; i < n; i++) { idx.push_back(v0++); idx.push_back(v1++); }
+    idx.push_back(v1 - 1); idx.push_back(v0);        // degenerate reset
+    v1++;
+    for (int y = 0; y < quads; y++) {
+        for (int i = 0; i < n + 2; i++) { idx.push_back(v0++); idx.push_back(v1++); }
+        if (y + 1 < quads) { idx.push_back(v1 - 1); idx.push_back(v0); }
+    }
+    v0++;
+    idx.push_back(v1 - 1); idx.push_back(v0);
+    for (int i = 0; i < n; i++) { idx.push_back(v0++); idx.push_back(v1++); }
+    return idx;
+}
+
+static std::vector<uint32_t> strip_triangles(const std::vector<uint32_t> &s) {
+    std::vector<uint32_t> tris;   // flat (T*3)
+    for (size_t k = 0; k + 2 < s.size(); k++) {
+        uint32_t a = s[k], b = s[k + 1], c = s[k + 2];
+        if (k & 1) { uint32_t t = a; a = b; b = t; }   // strip parity
+        if (a == b || b == c || a == c) continue;       // degenerate
+        tris.push_back(a); tris.push_back(b); tris.push_back(c);
+    }
+    return tris;
+}
+
+static inline bool edge_accept(float e, float dx, float dy) {
+    // top-left rule on the orientation-normalized direction (y-down)
+    bool topleft = (dy < 0.0f) || (dy == 0.0f && dx > 0.0f);
+    return e > 0.0f || (e == 0.0f && topleft);
+}
+
+static void raster_tri(const RVert v[3], int width, int height,
+                       int32_t *buf, long *frag_count) {
+    const float FS = -1.0f;   // GL_CW front in y-up = CCW in y-down screen
+    float area2 = ((v[1].x - v[0].x) * (v[2].y - v[0].y)
+                   - (v[1].y - v[0].y) * (v[2].x - v[0].x)) * FS;
+    if (!(area2 > 0.0f)) return;
+    float minx = v[0].x, maxx = v[0].x, miny = v[0].y, maxy = v[0].y;
+    for (int i = 1; i < 3; i++) {
+        if (v[i].x < minx) minx = v[i].x;
+        if (v[i].x > maxx) maxx = v[i].x;
+        if (v[i].y < miny) miny = v[i].y;
+        if (v[i].y > maxy) maxy = v[i].y;
+    }
+    int px0 = (int)ceilf(minx - 0.5f); if (px0 < 0) px0 = 0;
+    int px1 = (int)floorf(maxx - 0.5f); if (px1 > width - 1) px1 = width - 1;
+    int py0 = (int)ceilf(miny - 0.5f); if (py0 < 0) py0 = 0;
+    int py1 = (int)floorf(maxy - 0.5f); if (py1 > height - 1) py1 = height - 1;
+    if (px0 > px1 || py0 > py1) return;
+
+    float inv_area = 1.0f / area2;
+    const float lx = 0.0f;
+    const float ly = (float)(1.0 / sqrt(2.0)), lz = -(float)(1.0 / sqrt(2.0));
+    for (int py = py0; py <= py1; py++) {
+        for (int px = px0; px <= px1; px++) {
+            float pcx = (float)px + 0.5f, pcy = (float)py + 0.5f;
+            float e[3]; bool ok = true;
+            for (int i = 0; i < 3 && ok; i++) {
+                int a = (i + 1) % 3, b = (i + 2) % 3;   // edge opposite i
+                float dx = v[b].x - v[a].x, dy = v[b].y - v[a].y;
+                e[i] = (dx * (pcy - v[a].y) - dy * (pcx - v[a].x)) * FS;
+                ok = edge_accept(e[i], dx * FS, dy * FS);
+            }
+            if (!ok) continue;
+            float l0 = e[0] * inv_area, l1 = e[1] * inv_area, l2 = e[2] * inv_area;
+            float z = l0 * v[0].z + l1 * v[1].z + l2 * v[2].z;
+            float iw = l0 * v[0].iw + l1 * v[1].iw + l2 * v[2].iw;
+            if (!(iw > 0.0f) || z < -1.0f) continue;  // far side depth-clamps
+            V3f n = v[0].niw * l0 + v[1].niw * l1 + v[2].niw * l2;
+            n.x /= iw; n.y /= iw; n.z /= iw;
+            float nlen = lenf(n);
+            float ndl = (n.x * lx + n.y * ly + n.z * lz) / (nlen > 0 ? nlen : 1.0f);
+            float shade = sqrtf(0.001f + fmaxf(0.0f, ndl));
+            int32_t zq = (int32_t)((z * 0.5f + 0.5f) * (float)((1 << kDepthBits) - 1));
+            if (zq < 0) zq = 0;
+            if (zq > (1 << kDepthBits) - 1) zq = (1 << kDepthBits) - 1;
+            int32_t sq = (int32_t)(shade * (float)((1 << kShadeBits) - 1));
+            if (sq < 0) sq = 0;
+            if (sq > (1 << kShadeBits) - 1) sq = (1 << kShadeBits) - 1;
+            int32_t packed = (zq << kShadeBits) | sq;
+            int32_t &slot = buf[py * width + px];
+            if (packed < slot) slot = packed;
+            (*frag_count)++;
+        }
+    }
+}
+
+// Vertex program for one patch vertex (the section-7 math as a function):
+// slerp corner interpolation, tile displacement + skirt, TBN normal, clip.
+struct VOut { V3f world, normal; float clip[4]; };
+
+static VOut tess_vertex(const V3f P[4], const V3f N[4], const float *tile,
+                        int dim, float u, float v, float s, float skirt,
+                        const M4 viewproj) {
+    PN a = {P[0], N[0]}, b = {P[1], N[1]};
+    PN c = {P[2], N[2]}, d = {P[3], N[3]};
+    PN p = interp_pn(a, b, u);
+    PN qq = interp_pn(c, d, u);
+    PN vv = interp_pn(p, qq, v);
+
+    float c0u = 1.5f / dim, c1u = (dim - 1.5f) / dim;
+    float px = 1.0f / dim, py = 1.0f / dim;
+    float tu = lerpf(c0u, c1u, u);
+    float tv = lerpf(c0u, c1u, v);
+    float h = tile_sample(tile, dim, tu, tv) - skirt * s;
+    float x0 = tile_sample(tile, dim, tu - px, tv);
+    float x1 = tile_sample(tile, dim, tu + px, tv);
+    float y0 = tile_sample(tile, dim, tu, tv - py);
+    float y1 = tile_sample(tile, dim, tu, tv + py);
+    float xyscale = lenf(qq.p - p.p) / 29.0f;
+    V3f ntan = normf(v3f(x0 - x1, 2.0f * xyscale, y0 - y1));
+    V3f tv3 = normf(crossf(vv.n, qq.p - p.p));
+    V3f bi = normf(crossf(tv3, vv.n));
+    VOut out;
+    out.normal = normf(tv3 * ntan.x + vv.n * ntan.y + bi * ntan.z);
+    out.world = vv.p + vv.n * h;
+    float v4[4] = {out.world.x, out.world.y, out.world.z, 1.0f};
+    mat4_mulv(viewproj, v4, out.clip);
+    return out;
+}
+
 // ----------------------------------------------------------------- goldens
 
 int main(int argc, char **argv) {
@@ -735,6 +878,176 @@ int main(int argc, char **argv) {
         npy_f32(dir + "tess_height.npy", {(size_t)T, (size_t)nverts}, height_out);
         npy_f32(dir + "tess_clip.npy", {(size_t)T, (size_t)nverts, 4}, clip_out);
         npy_f32(dir + "tess_shade.npy", {(size_t)T, (size_t)nverts}, shade_out);
+    }
+
+    // 8. full-frame render golden: refine -> generate -> tessellate ->
+    //    exact-coverage raster at the engine's default 800x600 viewport
+    //    (the reference full frame, RenderPlanet main.cpp:600-683 + GL draw)
+    {
+        const int W = 800, H = 600;
+        const int dim = 32, n = 30, nverts = n * n + 4 * n;
+
+        V3d cdir = normalize(v3(0.2, 0.5, -0.8));
+        V3d cam_pos = cdir * (kRadius + 20000.0);
+        // pitch 0.35 rad: the 50-degree FOV spans sky, horizon (~4.5 deg
+        // below horizontal at 20 km), and near terrain — the golden then
+        // exercises silhouette, background, and the full depth range
+        float angles[3] = {0.35f, 0.3f, 0.0f};
+
+        // world rotation: tangent base frame + Euler Y,X,Z (main.cpp:1039-1061)
+        float rot[3][3];
+        {
+            V3f up = normf(v3f((float)cam_pos.x, (float)cam_pos.y, (float)cam_pos.z));
+            V3f yaxis = v3f(0, 1, 0);
+            V3f right = (1.0f - dotf(up, yaxis) < 0.1f)
+                ? normf(crossf(up, v3f(0, 0, 1)))
+                : normf(crossf(up, yaxis));
+            V3f fwd = normf(crossf(right, up));
+            float base[3][3] = {
+                {right.x, up.x, fwd.x},
+                {right.y, up.y, fwd.y},
+                {right.z, up.z, fwd.z},
+            };
+            float sy = sinf(angles[1]), cy = cosf(angles[1]);
+            float sx = sinf(angles[0]), cx = cosf(angles[0]);
+            float sz = sinf(angles[2]), cz = cosf(angles[2]);
+            float ry[3][3] = {{cy,0,sy},{0,1,0},{-sy,0,cy}};
+            float rx[3][3] = {{1,0,0},{0,cx,-sx},{0,sx,cx}};
+            float rz[3][3] = {{cz,-sz,0},{sz,cz,0},{0,0,1}};
+            float tmp[3][3], tmp2[3][3];
+            for (int r = 0; r < 3; r++) for (int c = 0; c < 3; c++) {
+                tmp[r][c] = 0;
+                for (int k = 0; k < 3; k++) tmp[r][c] += ry[r][k]*rx[k][c];
+            }
+            for (int r = 0; r < 3; r++) for (int c = 0; c < 3; c++) {
+                tmp2[r][c] = 0;
+                for (int k = 0; k < 3; k++) tmp2[r][c] += tmp[r][k]*rz[k][c];
+            }
+            for (int r = 0; r < 3; r++) for (int c = 0; c < 3; c++) {
+                rot[r][c] = 0;
+                for (int k = 0; k < 3; k++) rot[r][c] += base[r][k]*tmp2[k][c];
+            }
+        }
+
+        M4 proj = {}, view = {}, viewproj;
+        {
+            double fovy = 50.0 * (3.14159265358979323846 / 180.0);
+            float pf = 1.0f / tanf(0.5f * (float)fovy);
+            double f = 20000000.0, nr = 1.0;
+            proj[0][0] = pf / ((float)W / (float)H);
+            proj[1][1] = pf;
+            proj[2][2] = (float)((f + nr) / (f - nr));
+            proj[3][2] = 1.0f;
+            proj[2][3] = (float)(-2.0 * f * nr / (f - nr));
+            for (int r = 0; r < 3; r++)
+                for (int c = 0; c < 3; c++) view[r][c] = rot[c][r];
+            view[3][3] = 1.0f;
+            mat4_mul(proj, view, viewproj);
+        }
+
+        // refine
+        OQuad roots[6];
+        root_quads(roots);
+        std::vector<OQuad> leaves;
+        for (int f = 0; f < 6; f++) refine(roots[f], cam_pos, kMaxLod, leaves);
+
+        double max_skirt = (2.0 * 3.14159265358979323846 * kRadius)
+                           / (4.0 * 29.0) * 0.00001 * 8.0 * 8848.0;
+
+        // vertex list (u, v, skirt) in reference order
+        std::vector<float> vlist;
+        {
+            double div = 1.0 / (n - 1);
+            for (int x = 0; x < n; x++) {
+                vlist.push_back((float)(x*div)); vlist.push_back(0.0f); vlist.push_back(1.0f);
+            }
+            for (int y = 0; y < n; y++) {
+                vlist.push_back(0.0f); vlist.push_back((float)(y*div)); vlist.push_back(1.0f);
+                for (int x = 0; x < n; x++) {
+                    vlist.push_back((float)(x*div)); vlist.push_back((float)(y*div)); vlist.push_back(0.0f);
+                }
+                vlist.push_back(1.0f); vlist.push_back((float)(y*div)); vlist.push_back(1.0f);
+            }
+            for (int x = 0; x < n; x++) {
+                vlist.push_back((float)(x*div)); vlist.push_back(1.0f); vlist.push_back(1.0f);
+            }
+        }
+        std::vector<uint32_t> tris = strip_triangles(build_strip(n));
+
+        std::vector<int32_t> buf((size_t)W * H, kEmpty);
+        long frag_count = 0;
+        std::vector<RVert> rv(nverts);
+        std::vector<char> rok(nverts);
+
+        for (size_t li = 0; li < leaves.size(); li++) {
+            const OQuad &q = leaves[li];
+            int depth = (int)id_depth(q.id);
+            float skirt = (float)max_skirt;
+            int d1 = depth - 1;
+            if (d1 > 0) skirt /= (float)(2 << d1);
+
+            std::vector<float> tile(dim * dim);
+            gen_tile(q, dim, kMaxLod, tile.data());
+
+            V3f P[4], N[4];
+            for (int j = 0; j < 4; j++) {
+                V3d rel = q.p[j] - cam_pos;
+                P[j] = v3f((float)rel.x, (float)rel.y, (float)rel.z);
+                V3d nd = normalize(q.p[j]);
+                N[j] = v3f((float)nd.x, (float)nd.y, (float)nd.z);
+            }
+            for (int vi = 0; vi < nverts; vi++) {
+                VOut o = tess_vertex(P, N, tile.data(), dim,
+                                     vlist[vi*3], vlist[vi*3+1], vlist[vi*3+2],
+                                     skirt, viewproj);
+                float w = o.clip[3];
+                rok[vi] = w > 1e-9f;
+                if (!rok[vi]) continue;
+                float iw = 1.0f / w;
+                rv[vi].x = snap16((o.clip[0] * iw * 0.5f + 0.5f) * (float)W);
+                rv[vi].y = snap16((0.5f - o.clip[1] * iw * 0.5f) * (float)H);
+                rv[vi].z = o.clip[2] * iw;
+                rv[vi].iw = iw;
+                rv[vi].niw = o.normal * iw;
+            }
+            for (size_t ti = 0; ti + 3 <= tris.size(); ti += 3) {
+                uint32_t a = tris[ti], b = tris[ti+1], c = tris[ti+2];
+                if (!(rok[a] && rok[b] && rok[c])) continue;
+                RVert v[3] = {rv[a], rv[b], rv[c]};
+                raster_tri(v, W, H, buf.data(), &frag_count);
+            }
+        }
+
+        std::vector<float> image((size_t)W * H), depthb((size_t)W * H);
+        long covered = 0;
+        for (size_t i = 0; i < buf.size(); i++) {
+            if (buf[i] == kEmpty) {
+                image[i] = 0.0f;
+                depthb[i] = INFINITY;
+            } else {
+                covered++;
+                image[i] = (float)(buf[i] & ((1 << kShadeBits) - 1))
+                           / (float)((1 << kShadeBits) - 1);
+                depthb[i] = (float)(buf[i] >> kShadeBits)
+                            / (float)((1 << kDepthBits) - 1) * 2.0f - 1.0f;
+            }
+        }
+
+        std::vector<double> camv = {cam_pos.x, cam_pos.y, cam_pos.z};
+        std::vector<float> angv = {angles[0], angles[1], angles[2]};
+        std::vector<float> vp_flat, rot_flat;
+        for (int r = 0; r < 4; r++) for (int c = 0; c < 4; c++) vp_flat.push_back(viewproj[r][c]);
+        for (int r = 0; r < 3; r++) for (int c = 0; c < 3; c++) rot_flat.push_back(rot[r][c]);
+        std::vector<int64_t> meta = {(int64_t)leaves.size(), covered,
+                                     frag_count};
+
+        npy_f64(dir + "frame_cam.npy", {3}, camv);
+        npy_f32(dir + "frame_angles.npy", {3}, angv);
+        npy_f32(dir + "frame_rot.npy", {3, 3}, rot_flat);
+        npy_f32(dir + "frame_viewproj.npy", {4, 4}, vp_flat);
+        npy_f32(dir + "frame_image.npy", {(size_t)H, (size_t)W}, image);
+        npy_f32(dir + "frame_depth.npy", {(size_t)H, (size_t)W}, depthb);
+        npy_i64(dir + "frame_meta.npy", {3}, meta);
     }
 
     printf("oracle: goldens written\n");

@@ -32,6 +32,10 @@ class EngineConfig:
     leaf_pad: int = 256                # pad leaf batches to this multiple
     gen_pad: int = 64                  # pad generation batches to this multiple
     use_pallas: bool = True            # pallas kernel vs XLA noise path
+    # rasterizer: "exact" = exact-coverage triangle raster (render.cpp
+    # semantics, raster/coverage.py); "splat" = depth-tested vertex splats
+    # (raster/splat.py; also used for wireframe mode)
+    raster_mode: str = "exact"
     raster_supersample: int = 4        # splat fragments per cell edge
     check_finite: bool = False         # per-frame NaN/inf tile guard
 

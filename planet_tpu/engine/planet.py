@@ -36,6 +36,7 @@ from planet_tpu.nums import df as dfm
 from planet_tpu.ops import heightmap
 from planet_tpu.ops import perlin
 from planet_tpu.ops.kernels import tile_pallas
+from planet_tpu.raster import coverage
 from planet_tpu.raster import shade as shade_mod
 from planet_tpu.tess import mesh, vertex
 
@@ -113,10 +114,30 @@ def _tess_shade_fn():
 
 
 @functools.lru_cache(maxsize=None)
-def _raster_fn(width: int, height: int, supersample: int, wireframe: bool):
+def _raster_fn(width: int, height: int, supersample: int, wireframe: bool,
+               mode: str = "splat"):
+    """fn(clip, vshade, normal, valid, world, snormal) -> (image, depth).
+
+    mode="exact": exact triangle coverage (raster/coverage.py; screen-space
+    winding cull = the reference's GL_CW front-face cull, main.cpp:811-816).
+    mode="splat" (and any wireframe render): depth-tested vertex splats."""
+    if mode == "exact" and not wireframe:
+        cmask = mesh.cell_triangle_mask()
+
+        def fn(clip, vshade, normal, valid, world, snormal):
+            image, depthbuf, _ = coverage.raster_frame(
+                clip, normal, valid, width, height, cell_mask=cmask)
+            return image, depthbuf
+
+        return jax.jit(fn)
+
     from planet_tpu.raster import splat
 
-    def fn(clip, vshade, valid, world, snormal):
+    # wireframe selects cell-EDGE fragments, which only exist at k >= 2
+    # (splat.upsample_cells is a passthrough at k = 1)
+    supersample = max(supersample, 2) if wireframe else supersample
+
+    def fn(clip, vshade, normal, valid, world, snormal):
         # backface culling: the reference enables CW front-face culling
         # (main.cpp:811-816); for a sphere, vertices whose outward normal
         # points away from the camera are on the far side.
@@ -270,7 +291,7 @@ class PlanetEngine:
         row_ok = (np.arange(l_pad) < out.n_leaves)
         valid = jnp.asarray(row_ok[:, None, None] & grid_mask[None, :, :])
         image, depth = _raster_fn(width, height, c.raster_supersample,
-                                  self.wireframe)(
-            out.vertices.clip, out.vertex_shade, valid,
+                                  self.wireframe, c.raster_mode)(
+            out.vertices.clip, out.vertex_shade, out.vertices.normal, valid,
             out.vertices.world, out.vertices.snormal)
         return out, image, depth

@@ -101,6 +101,17 @@ def _coerce(x: DFLike) -> DF:
     return from_f32(x)
 
 
+# BACKEND CAVEAT (measured 2026-08): under jit, XLA:CPU's LLVM backend
+# rematerializes producer multiplies inside consumer fusions and contracts
+# them to FMA, which breaks the (s, err) exactness invariant of the EFTs
+# below — composed DF mul/add chains degrade to ~5e-8 relative accuracy on
+# CPU (an optimization_barrier does NOT survive the rematerialization). The
+# TPU backend is measured exact (mul 1.4e-14, dot3 9.5e-15 rel on v5e).
+# CPU tests that need full DF accuracy must compare against x64/f64
+# references instead; the production TPU path is unaffected, and the Pallas
+# kernels carry their own EFT copies (Mosaic does not contract).
+
+
 def two_sum(a: jnp.ndarray, b: jnp.ndarray):
     """Error-free sum: a + b = s + err exactly (Knuth)."""
     s = a + b

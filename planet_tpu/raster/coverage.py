@@ -1,0 +1,426 @@
+"""Exact-coverage depth-tested triangle rasterizer (BASELINE config 4).
+
+The reference draws each patch as one triangle strip through the GPU ROPs
+(render.cpp:455-491; strip built at main.cpp:427-474) with LEQUAL depth,
+CW-front-face culling (main.cpp:811-816) and a Lambert fragment shader over
+the perspective-interpolated vertex normal (main.cpp:369-381). TPUs have no
+raster hardware, so this module restates triangle rasterization as a
+vector program shaped for the VPU:
+
+* Triangles are enumerated from the dense patch grid BY SLICING (no index
+  buffer, no gathers): every grid cell contributes the reference strip's
+  two triangles (parity-normalized winding, tess/mesh.strip_to_triangles).
+* Screen coordinates snap to a 1/16-subpixel fixed-point grid held in f32.
+  Inside the small/mid size classes every edge-function product is an
+  integer multiple of 1/256 below 2**24, so coverage decisions are EXACT
+  f32 arithmetic — bit-stable across XLA, numpy, and the scalar C oracle.
+* Coverage uses the top-left fill rule, derived for y-down screen space:
+  a zero edge value is inside iff the (orientation-normalized) edge
+  direction has dy < 0, or dy == 0 and dx > 0. Two triangles sharing an
+  edge therefore partition its pixels exactly (no double-shade, no seam).
+* Work is split by bounding-box SIZE CLASS, all vectorized over triangles:
+    small:  every live triangle tests the 2x2 pixel window at its bbox min
+            (the LOD policy keeps cells ~1 px, so this is the steady state;
+            a bigger triangle gets a correct SUBSET here, duplicates are
+            idempotent under the depth min)
+    mid:    bbox <= 16x16, compacted to `mid_cap` slots, 256 candidates
+    large:  bbox <= 128x128, compacted to `large_cap` slots
+    huge:   anything bigger, compacted to `huge_cap`, rasterized by a
+            sequential full-screen scan (skipped via lax.cond when empty)
+  Caps overflowing is reported in the returned counters, never silent.
+* The depth test is one scatter-min of packed (21-bit quantized NDC depth,
+  10-bit shade) int32 keys per class — LEQUAL semantics with ties broken
+  toward darker shade, deterministically.
+
+Fragments interpolate 1/w and normal*(1/w) linearly in screen space and
+divide per fragment — exactly GL's perspective-correct varyings — then
+shade sqrt(0.001 + max(0, n.l)) like the reference fragment program.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from planet_tpu.raster.splat import _DEPTH_BITS, _EMPTY, _SHADE_BITS
+
+_F32 = jnp.float32
+_I32 = jnp.int32
+
+SNAP = np.float32(16.0)        # subpixel grid: 1/16 px
+INV_SNAP = np.float32(1.0 / 16.0)
+# GL front face is CW in y-UP window coords (main.cpp:814) = CCW in our
+# y-down screen space; with E = dx*(py-y0) - dy*(px-x0) a front triangle
+# has negative doubled area, so orientation-normalize by -1.
+FRONT_SIGN = np.float32(-1.0)
+_W_MIN = np.float32(1e-9)
+_LIGHT = np.array([0.0, 1.0, -1.0]) / np.sqrt(2.0)
+
+
+class RasterCounters(NamedTuple):
+    n_tris: jnp.ndarray        # () i32 live (kept, front-facing) triangles
+    n_per_class: jnp.ndarray   # (n_classes + 1,) i32 triangles per ladder
+                               # class, huge last
+    n_huge: jnp.ndarray        # () i32 needing the full-screen pass
+    overflowed: jnp.ndarray    # () bool any class cap exceeded
+
+
+def _tri_corners(a, channel: bool):
+    """(Q, G, G[, C]) -> three (Q, 2, G-1, G-1[, C]) triangle vertex arrays.
+
+    Every grid cell carries the reference strip's two triangles
+    (main.cpp:427-474, parity-normalized by tess/mesh.strip_to_triangles):
+    cell (r, c) -> T0 = (g[r,c], g[r+1,c], g[r,c+1]) and
+    T1 = (g[r,c+1], g[r+1,c], g[r+1,c+1]). Equality with
+    mesh.grid_triangles() is asserted in tests/test_raster_exact.py.
+    """
+    if channel:
+        g00 = a[:, :-1, :-1, :]
+        g10 = a[:, 1:, :-1, :]
+        g01 = a[:, :-1, 1:, :]
+        g11 = a[:, 1:, 1:, :]
+        ax = 1
+    else:
+        g00 = a[:, :-1, :-1]
+        g10 = a[:, 1:, :-1]
+        g01 = a[:, :-1, 1:]
+        g11 = a[:, 1:, 1:]
+        ax = 1
+    v0 = jnp.stack([g00, g01], axis=ax)
+    v1 = jnp.stack([g10, g10], axis=ax)
+    v2 = jnp.stack([g01, g11], axis=ax)
+    return v0, v1, v2
+
+
+class _Tris(NamedTuple):
+    """Per-triangle setup, all (N,) or (N, 3)."""
+
+    x: jnp.ndarray        # (N, 3) snapped screen x per vertex
+    y: jnp.ndarray        # (N, 3)
+    z: jnp.ndarray        # (N, 3) NDC z
+    iw: jnp.ndarray       # (N, 3) 1/w
+    niw: jnp.ndarray      # (N, 3, 3) normal * (1/w)
+    inv_area: jnp.ndarray  # (N,) 1 / area2 (orientation-normalized)
+    px0: jnp.ndarray      # (N,) i32 bbox min pixel (clamped)
+    py0: jnp.ndarray
+    px1: jnp.ndarray      # (N,) i32 bbox max pixel (clamped)
+    py1: jnp.ndarray
+    live: jnp.ndarray     # (N,) bool
+
+
+def _setup(clip, normal, valid, width: int, height: int,
+           cell_mask=None) -> _Tris:
+    """Project, snap, cull, and bbox the cell triangles of a batch of
+    patches. clip (Q, G, G, 4), normal (Q, G, G, 3), valid (Q, G, G);
+    cell_mask an optional static (2, G-1, G-1) bool of drawn triangles
+    (tess/mesh.cell_triangle_mask — the strip skips skirt-corner cells)."""
+    w4 = clip[..., 3]
+    ok_w = valid & (w4 > _W_MIN)
+    inv_w = jnp.where(ok_w, 1.0 / jnp.where(ok_w, w4, 1.0), 0.0)
+    sx = (clip[..., 0] * inv_w * 0.5 + 0.5) * np.float32(width)
+    sy = (0.5 - clip[..., 1] * inv_w * 0.5) * np.float32(height)
+    # snap to the 1/16 subpixel grid (round-half-even everywhere)
+    sx = jnp.round(sx * SNAP) * INV_SNAP
+    sy = jnp.round(sy * SNAP) * INV_SNAP
+    z = clip[..., 2] * inv_w
+    niw = normal * inv_w[..., None]
+
+    xs = jnp.stack(_tri_corners(sx, False), -1)    # (Q, 2, G-1, G-1, 3)
+    ys = jnp.stack(_tri_corners(sy, False), -1)
+    zs = jnp.stack(_tri_corners(z, False), -1)
+    iws = jnp.stack(_tri_corners(inv_w, False), -1)
+    niws = jnp.stack(_tri_corners(niw, True), -2)  # (Q, 2, G-1, G-1, 3v, 3c)
+    oks = jnp.stack(_tri_corners(ok_w, False), -1)
+
+    def flat(a, tail):
+        return a.reshape((-1,) + tail)
+
+    xs, ys, zs, iws = (flat(a, (3,)) for a in (xs, ys, zs, iws))
+    niws = flat(niws, (3, 3))
+    tri_ok = flat(oks, (3,)).all(axis=-1)
+    if cell_mask is not None:
+        q = clip.shape[0]
+        tri_ok = tri_ok & jnp.broadcast_to(
+            jnp.asarray(cell_mask)[None], (q,) + cell_mask.shape).reshape(-1)
+
+    area2 = ((xs[:, 1] - xs[:, 0]) * (ys[:, 2] - ys[:, 0])
+             - (ys[:, 1] - ys[:, 0]) * (xs[:, 2] - xs[:, 0])) * FRONT_SIGN
+    front = area2 > 0.0                           # back faces + degenerates out
+
+    min_x = jnp.min(xs, axis=-1)
+    max_x = jnp.max(xs, axis=-1)
+    min_y = jnp.min(ys, axis=-1)
+    max_y = jnp.max(ys, axis=-1)
+    # pixel centers px + 0.5 inside [min, max]
+    px0 = jnp.ceil(min_x - 0.5).astype(_I32)
+    px1 = jnp.floor(max_x - 0.5).astype(_I32)
+    py0 = jnp.ceil(min_y - 0.5).astype(_I32)
+    py1 = jnp.floor(max_y - 0.5).astype(_I32)
+    px0c = jnp.maximum(px0, 0)
+    py0c = jnp.maximum(py0, 0)
+    px1c = jnp.minimum(px1, width - 1)
+    py1c = jnp.minimum(py1, height - 1)
+    nonempty = (px0c <= px1c) & (py0c <= py1c)
+
+    live = tri_ok & front & nonempty
+    inv_area = jnp.where(live, 1.0 / jnp.where(live, area2, 1.0), 0.0)
+    return _Tris(x=xs, y=ys, z=zs, iw=iws, niw=niws, inv_area=inv_area,
+                 px0=px0c, py0=py0c, px1=px1c, py1=py1c, live=live)
+
+
+def _edge(xa, ya, xb, yb, px, py):
+    """Edge function of directed edge a->b at point p, orientation-scaled so
+    the (front-facing) interior is positive."""
+    return ((xb - xa) * (py - ya) - (yb - ya) * (px - xa)) * FRONT_SIGN
+
+
+def _edge_accept(e, xa, ya, xb, yb):
+    """Top-left fill rule on the orientation-normalized edge direction."""
+    dx = (xb - xa) * FRONT_SIGN
+    dy = (yb - ya) * FRONT_SIGN
+    topleft = (dy < 0.0) | ((dy == 0.0) & (dx > 0.0))
+    return (e > 0.0) | ((e == 0.0) & topleft)
+
+
+def _fragments(t: _Tris, live, px, py, width: int, height: int):
+    """Evaluate coverage + attributes at integer pixel candidates.
+
+    t fields broadcast against px/py of shape t.x.shape[:-1] + (K,);
+    returns (idx, packed) flattened, with rejects routed to the dump slot
+    width*height.
+    """
+    pcx = px.astype(_F32) + np.float32(0.5)
+    pcy = py.astype(_F32) + np.float32(0.5)
+    x = [t.x[..., i, None] for i in range(3)]
+    y = [t.y[..., i, None] for i in range(3)]
+
+    e0 = _edge(x[1], y[1], x[2], y[2], pcx, pcy)   # opposite vertex 0
+    e1 = _edge(x[2], y[2], x[0], y[0], pcx, pcy)
+    e2 = _edge(x[0], y[0], x[1], y[1], pcx, pcy)
+    inside = (_edge_accept(e0, x[1], y[1], x[2], y[2])
+              & _edge_accept(e1, x[2], y[2], x[0], y[0])
+              & _edge_accept(e2, x[0], y[0], x[1], y[1]))
+
+    ia = t.inv_area[..., None]
+    l0 = e0 * ia
+    l1 = e1 * ia
+    l2 = e2 * ia
+    z = (l0 * t.z[..., 0, None] + l1 * t.z[..., 1, None]
+         + l2 * t.z[..., 2, None])
+    iw = (l0 * t.iw[..., 0, None] + l1 * t.iw[..., 1, None]
+          + l2 * t.iw[..., 2, None])
+    iw_safe = jnp.where(iw > 0.0, iw, 1.0)
+    n = [(l0 * t.niw[..., 0, c, None] + l1 * t.niw[..., 1, c, None]
+          + l2 * t.niw[..., 2, c, None]) / iw_safe for c in range(3)]
+    nlen = jnp.sqrt(n[0] * n[0] + n[1] * n[1] + n[2] * n[2])
+    ndotl = (n[0] * np.float32(_LIGHT[0]) + n[1] * np.float32(_LIGHT[1])
+             + n[2] * np.float32(_LIGHT[2])) / jnp.where(nlen > 0, nlen, 1.0)
+    shade = jnp.sqrt(np.float32(0.001) + jnp.maximum(0.0, ndotl))
+
+    in_vp = ((px >= 0) & (px < width) & (py >= 0) & (py < height)
+             & (px <= t.px1[..., None]) & (py <= t.py1[..., None]))
+    # depth-clamp semantics at the far plane: interpolated z can exceed 1 by
+    # f32 barycentric rounding (or genuinely, for geometry past far) — the
+    # quantizer clamps it; only fragments in front of the near plane reject
+    ok = live[..., None] & inside & in_vp & (z >= -1.0) & (iw > 0.0)
+
+    zq = jnp.clip((z * 0.5 + 0.5) * np.float32(2**_DEPTH_BITS - 1),
+                  0, 2**_DEPTH_BITS - 1).astype(_I32)
+    sq = jnp.clip(shade * np.float32(2**_SHADE_BITS - 1),
+                  0, 2**_SHADE_BITS - 1).astype(_I32)
+    packed = (zq << _SHADE_BITS) | sq
+    idx = jnp.where(ok, py * width + px, width * height)
+    return idx.reshape(-1), packed.reshape(-1)
+
+
+def _compact_indices(mask, cap: int):
+    """Indices of the first `cap` set lanes, padded with N (a dump row).
+    Returns (idxs (cap,), count ())."""
+    n = mask.shape[0]
+    pos = jnp.cumsum(mask.astype(_I32)) - 1
+    tgt = jnp.where(mask & (pos < cap), pos, cap)
+    idxs = jnp.full((cap + 1,), n, _I32).at[tgt].set(jnp.arange(n, dtype=_I32))
+    return idxs[:cap], jnp.sum(mask.astype(_I32))
+
+
+# Packed triangle-record layout: one (N + 1, 32) f32 matrix so every
+# compaction is a single row gather (TPU gathers of contiguous 32-wide rows
+# are ~an order of magnitude cheaper than 25 independent scalar gathers).
+# The extra last row is all-zero: gathering the pad index yields live=0.
+_REC_COLS = 32
+
+
+def _pack_tris(t: _Tris):
+    n = t.live.shape[0]
+    cols = [t.x, t.y, t.z, t.iw,                       # 12
+            t.niw.reshape(n, 9),                       # 21
+            t.inv_area[:, None],                       # 22
+            t.px0[:, None].astype(_F32), t.py0[:, None].astype(_F32),
+            t.px1[:, None].astype(_F32), t.py1[:, None].astype(_F32),  # 26
+            t.live[:, None].astype(_F32)]              # 27
+    m = jnp.concatenate([c.astype(_F32) for c in cols], axis=1)
+    m = jnp.pad(m, ((0, 1), (0, _REC_COLS - m.shape[1])))
+    return m                                           # (n + 1, 32)
+
+
+def _unpack_tris(m) -> _Tris:
+    n = m.shape[0]
+    return _Tris(
+        x=m[:, 0:3], y=m[:, 3:6], z=m[:, 6:9], iw=m[:, 9:12],
+        niw=m[:, 12:21].reshape(n, 3, 3), inv_area=m[:, 21],
+        px0=m[:, 22].astype(_I32), py0=m[:, 23].astype(_I32),
+        px1=m[:, 24].astype(_I32), py1=m[:, 25].astype(_I32),
+        live=m[:, 26] > 0.5)
+
+
+def _gather_packed(m, idxs):
+    """Row-gather of packed records; the pad index hits the zero row."""
+    n = m.shape[0] - 1
+    safe = jnp.minimum(idxs, n)
+    return jnp.take(m, safe, axis=0)
+
+
+def _row_job_pass(tt_m, job_idx, max_bh: int, win_w: int,
+                  width: int, height: int):
+    """Evaluate one compacted row-job class: job j covers pixels
+    (py0+row, px0 .. px0+win_w-1) of its triangle. job_idx indexes the
+    (tri_cap * max_bh) flat job space; the pad index maps to a dead row."""
+    tri = (job_idx // max_bh).astype(_I32)
+    row = (job_idx % max_bh).astype(_I32)
+    tj = _unpack_tris(_gather_packed(tt_m, tri))
+    py = (tj.py0 + row)[:, None]
+    px = tj.px0[:, None] + jnp.arange(win_w, dtype=_I32)[None, :]
+    live = tj.live & (row < (tj.py1 - tj.py0 + 1))
+    return _fragments(tj, live, px, jnp.broadcast_to(py, px.shape),
+                      width, height)
+
+
+def _huge_pass(buf, t: _Tris, width: int, height: int):
+    """Sequential full-screen raster of the (rare) huge triangles: scan over
+    the compacted slots, each an elementwise coverage test + packed min over
+    the whole framebuffer."""
+    cap = t.live.shape[0]
+    py, px = jnp.mgrid[0:height, 0:width]
+    px = px.astype(_I32).reshape(-1)
+    py = py.astype(_I32).reshape(-1)
+
+    def body(buf, ti):
+        one = jax.tree.map(
+            lambda a: jax.lax.dynamic_slice_in_dim(a, ti, 1, axis=0), t)
+        idx, packed = _fragments(one, one.live, px[None, :], py[None, :],
+                                 width, height)
+        packed = jnp.where(idx < width * height, packed, _EMPTY)
+        return jnp.minimum(buf, packed), None
+
+    buf, _ = jax.lax.scan(body, buf, jnp.arange(cap))
+    return buf
+
+
+# Row-job width ladder: (row width, job cap). A live triangle emits one JOB
+# per pixel row of its bbox (so candidate lanes track true bbox area, not a
+# square window — the LOD workload is dominated by wide, short triangles at
+# grazing angles); each job lands in the narrowest width class covering its
+# bbox width. Caps overflowing is reported (RasterCounters.overflowed),
+# never silent. Defaults sized ~1.3x the measured 1080p device-step demand.
+ROW_LADDER = ((4, 65536), (8, 131072), (16, 262144),
+              (32, 393216), (64, 131072), (128, 32768))
+TRI_CAP = 131072       # live-triangle compaction bound
+MAX_BH = 64            # bbox rows handled by jobs; taller goes to huge
+
+
+def decode_packed(img_packed, background: float = 0.0):
+    """(H, W) packed int32 framebuffer -> (image, depth). The packed layout
+    (21-bit quantized NDC depth, 10-bit shade; _EMPTY for background) is
+    closed under elementwise/min composition, so multi-chip rendering
+    composites shards with `lax.pmin` on the packed buffer and decodes
+    once (parallel/sharded_lod.py)."""
+    empty = img_packed == _EMPTY
+    shade_out = (img_packed & (2**_SHADE_BITS - 1)).astype(_F32) \
+        / np.float32(2**_SHADE_BITS - 1)
+    image = jnp.where(empty, np.float32(background), shade_out)
+    depth = jnp.where(
+        empty, np.float32(np.inf),
+        ((img_packed >> _SHADE_BITS).astype(_F32)
+         / np.float32(2**_DEPTH_BITS - 1)) * 2.0 - 1.0)
+    return image, depth
+
+
+def raster_frame(clip, normal, valid, width: int, height: int, *,
+                 ladder=ROW_LADDER, tri_cap: int = TRI_CAP,
+                 max_bh: int = MAX_BH, huge_cap: int = 16,
+                 background: float = 0.0, cell_mask=None,
+                 decode: bool = True):
+    """Rasterize a batch of tessellated patches with exact triangle coverage.
+
+    Args:
+      clip:   (Q, G, G, 4) f32 clip-space patch grid positions.
+      normal: (Q, G, G, 3) f32 world-space shading normals (pre-Lambert).
+      valid:  (Q, G, G) bool vertex validity (active patch x grid mask).
+
+    Returns (image (H, W) f32, depth (H, W) f32 NDC z with +inf empties,
+    RasterCounters); with decode=False, (packed (H, W) i32, RasterCounters).
+    """
+    t = _setup(clip, normal, valid, width, height, cell_mask)
+    bw = t.px1 - t.px0 + 1
+    bh = t.py1 - t.py0 + 1
+    max_w = ladder[-1][0]
+
+    # triangles small enough for row jobs; the rest take the full-screen pass
+    eligible = t.live & (bh <= max_bh) & (bw <= max_w)
+    tm = _pack_tris(t)
+    tri_idx, n_live = _compact_indices(eligible, tri_cap)
+    tt_m = _gather_packed(tm, tri_idx)
+    tt_m = jnp.pad(tt_m, ((0, 1), (0, 0)))       # job pad row
+    tt = _unpack_tris(tt_m[:-1])
+    tbw = tt.px1 - tt.px0 + 1
+    tbh = tt.py1 - tt.py0 + 1
+
+    # flat job space: (tri_cap, max_bh) -> job (i, r) live iff r < bh_i
+    rows = jnp.arange(max_bh, dtype=_I32)[None, :]
+    job_live = tt.live[:, None] & (rows < tbh[:, None])
+    jbw = jnp.broadcast_to(tbw[:, None], job_live.shape)
+
+    n_pix = width * height
+    frags = []
+    n_per_class = []
+    overflowed = n_live > tri_cap
+
+    prev = 0
+    for win_w, cap in ladder:
+        in_class = (job_live & (jbw > prev) & (jbw <= win_w)).reshape(-1)
+        prev = win_w
+        jidx, n_cls = _compact_indices(in_class, cap)
+        frags.append(_row_job_pass(tt_m, jidx, max_bh, win_w, width, height))
+        n_per_class.append(n_cls)
+        overflowed = overflowed | (n_cls > cap)
+
+    # depth-test all emitted fragments (single dump slot at n_pix)
+    idx = jnp.concatenate([f[0] for f in frags])
+    packed = jnp.concatenate([f[1] for f in frags])
+    idx, packed = jax.lax.optimization_barrier((idx, packed))
+    buf = jnp.full((n_pix + 1,), _EMPTY, _I32)
+    buf = buf.at[idx].min(packed)
+    buf = buf[:n_pix]
+
+    # huge: full-screen scan, skipped entirely when none exist
+    need_huge = t.live & ~eligible
+    hg_idx, n_huge = _compact_indices(need_huge, huge_cap)
+    th = _unpack_tris(_gather_packed(tm, hg_idx))
+    overflowed = overflowed | (n_huge > huge_cap)
+    buf = jax.lax.cond(
+        n_huge > 0,
+        lambda b: _huge_pass(b, th, width, height),
+        lambda b: b, buf)
+
+    img_packed = buf.reshape(height, width)
+    counters = RasterCounters(
+        n_tris=jnp.sum(t.live.astype(_I32)),
+        n_per_class=jnp.stack(n_per_class + [n_huge]),
+        n_huge=n_huge, overflowed=overflowed)
+    if not decode:
+        return img_packed, counters
+    image, depth = decode_packed(img_packed, background)
+    return image, depth, counters

@@ -163,6 +163,32 @@ def grid_triangles(n: int = PATCH_VERTS) -> np.ndarray:
     return flat2grid[tris.astype(np.int64)]
 
 
+@functools.lru_cache()
+def cell_triangle_mask(n: int = PATCH_VERTS) -> np.ndarray:
+    """(2, n+1, n+1) bool: which of the dense grid's per-cell triangles
+    (T0 = (g[r,c], g[r+1,c], g[r,c+1]), T1 = (g[r,c+1], g[r+1,c],
+    g[r+1,c+1])) the reference strip actually draws. The strip skips the 4
+    skirt-corner cells (its skirt rows span only the interior columns,
+    main.cpp:402-474), so a dense enumeration must mask those out."""
+    g = n + 2
+    ref = set()
+    for a, b, c in grid_triangles(n):
+        ref |= {(int(a), int(b), int(c)), (int(b), int(c), int(a)),
+                (int(c), int(a), int(b))}
+    mask = np.zeros((2, g - 1, g - 1), bool)
+    found = 0
+    for r in range(g - 1):
+        for c in range(g - 1):
+            g00, g10 = r * g + c, (r + 1) * g + c
+            g01, g11 = r * g + c + 1, (r + 1) * g + c + 1
+            for t, tri in enumerate(((g00, g10, g01), (g01, g10, g11))):
+                if tri in ref:
+                    mask[t, r, c] = True
+                    found += 1
+    assert found == len(grid_triangles(n)), (found, len(grid_triangles(n)))
+    return mask
+
+
 def interior_triangle_count(n: int = PATCH_VERTS) -> int:
     """29*29*2 (the reference's on-screen stat, main.cpp:1030)."""
     return (n - 1) * (n - 1) * 2

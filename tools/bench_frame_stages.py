@@ -45,7 +45,7 @@ l_pad = out.vertices.clip.shape[0]
 _, _, _, grid_mask = mesh.grid_uv_skirt(cfg.patch_verts)
 row_ok = np.arange(l_pad) < out.n_leaves
 valid = jnp.asarray(row_ok[:, None, None] & grid_mask[None, :, :])
-args = (out.vertices.clip, out.vertex_shade, valid,
+args = (out.vertices.clip, out.vertex_shade, out.vertices.normal, valid,
         out.vertices.world, out.vertices.snormal)
 for ss in (2, 4, 8):
     f = _raster_fn(1920, 1080, ss, False)

@@ -18,8 +18,9 @@ for l_pad, ss in ((256, 4), (256, 8), (512, 8)):
     valid = np.ones((l_pad, 32, 32), bool)
     world = rng.standard_normal((l_pad, 32, 32, 3)).astype(np.float32)
     snormal = -world  # all facing
-    args = tuple(jax.device_put(a) for a in (clip, vshade, valid, world,
-                                             snormal))
+    normal = world / np.linalg.norm(world, axis=-1, keepdims=True)
+    args = tuple(jax.device_put(a) for a in (clip, vshade, normal, valid,
+                                             world, snormal))
     img, dep = f(*args)
     jax.block_until_ready((img, dep))
     t0 = time.perf_counter()
