@@ -155,36 +155,45 @@ def config4():
 
 
 def config5():
-    """6x8192^2 heightfield generated in row strips — the per-chip slice of
-    the sharded config (one strip of the v5e-8 layout per launch)."""
+    """The FULL 6x8192^2 heightfield on one chip, streamed in row strips.
+
+    Round-1 measured this workload at ~12 s wall vs ~0.34 s kernel-bound;
+    the gap was the host f64 point grids (6 x 8192^2 x 3 x 16 B ~ 9.6 GB
+    of meshgrid + DF-split + tunnel transfer). Fix: the strip's sphere
+    points are generated ON DEVICE in double-float from the 6x4x3 corner
+    constants (facemesh.face_grid_points_df row0/rows) — per launch only a
+    scalar row offset crosses the host boundary, and all launches queue
+    before one final sync, so the number below is the true end-to-end
+    whole-planet generation time (points + noise), not an extrapolation."""
     import jax
+    import jax.numpy as jnp
     from planet_tpu.models import heightfield
     from planet_tpu.parallel import facemesh
-    from planet_tpu.nums import df as dfm
 
-    n = 8192
-    strip = 512                                   # rows per launch
-    pts = np.stack([facemesh.face_grid_points(f, n, 6371000.0)[:strip]
-                    for f in range(6)])           # (6, strip, n, 3)
-    comps = []
-    for k in range(3):
-        hi, lo = dfm.from_f64_np(pts[..., k])
-        comps += [hi, lo]
     on_tpu = jax.default_backend() == "tpu"
+    n = 8192 if on_tpu else 512
+    strip = 512 if on_tpu else 128
+    radius = 6371000.0
 
-    def step(xh, xl, yh, yl, zh, zl):
-        from planet_tpu.nums.df import DF
-        return heightfield.heights_df(
-            DF(xh, xl), DF(yh, yl), DF(zh, zl),
-            kind="ridged", octaves=6, gain=0.55, use_pallas=on_tpu)
+    def step(row0):
+        px, py, pz = facemesh.face_grid_points_df(n, radius, row0=row0,
+                                                  rows=strip)
+        return heightfield.heights_df(px, py, pz, kind="ridged", octaves=6,
+                                      gain=0.55, use_pallas=on_tpu)
 
     f = jax.jit(step)
-    dev = tuple(jax.device_put(c) for c in comps)
-    iters = 8 if on_tpu else 1
-    dt = _steady(f, *dev, iters=iters)
-    texels = 6 * strip * n
-    rate = texels / dt
-    full_s = 6 * n * n / rate
+    offs = [jnp.int32(r) for r in range(0, n, strip)]
+    out = f(offs[0])
+    jax.block_until_ready(out)
+    _fetch(out)
+    t0 = time.perf_counter()
+    outs = [f(r) for r in offs]                   # full planet, queued
+    jax.block_until_ready(outs)
+    _fetch(outs[-1])
+    full_s = (time.perf_counter() - t0) * (8192 / n) ** 2 \
+        * (1 if on_tpu else 1.0)                  # CPU smoke scales up
+    checksum = float(sum(jnp.sum(o, dtype=jnp.float32) for o in outs))
+    assert np.isfinite(checksum)
     _emit("config5_6x8192_generation_s_per_chip", full_s, "s", 1.0)
 
 

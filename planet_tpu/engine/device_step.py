@@ -15,11 +15,13 @@ this module runs EVERYTHING on device:
 Host traffic per frame: the camera (6 floats + a 4x4 matrix) in, the image
 (and small stats) out. Pool state is donated in-place.
 
-Differences from the host path (documented, not drift): probe displacement
-and camera-relative distances narrow to f32 (vs f64 host / double
-reference), which can flip razor-edge split decisions; the generation
-budget selects the first K misses in DFS order like the reference, but
-mid-frame self-eviction churn is absent (see cache/device_pool.py).
+Differences from the host path (documented, not drift): the split decision
+is evaluated in double-float (~1e-14 relative, matching the reference's
+double evaluation, main.cpp:546-571 — see lod/refine_device.py), so leaf
+sets are bit-stable vs the host refiner except within that margin; the
+generation budget selects the first K misses in DFS order like the
+reference, but mid-frame self-eviction churn is absent (see
+cache/device_pool.py).
 """
 
 from __future__ import annotations
@@ -36,7 +38,7 @@ from planet_tpu.geom import cubesphere, quadid
 from planet_tpu.lod import refine_device
 from planet_tpu.nums import df as dfm
 from planet_tpu.ops.kernels import tile_pallas
-from planet_tpu.raster import shade as shade_mod, splat
+from planet_tpu.raster import coverage, shade as shade_mod, splat
 from planet_tpu.tess import mesh, vertex
 
 _F32 = jnp.float32
@@ -64,7 +66,9 @@ def build_device_render(cfg: EngineConfig, width: int, height: int, *,
                         cap: int = 4096, render_cap: int = 512,
                         gen_cap: int = 256, max_lod: int = None,
                         probe: str = "ridged6", interpret: bool = None,
-                        stop_after: str = "full"):
+                        stop_after: str = "full",
+                        dynamic_roots: bool = False,
+                        raster_out: str = "decoded", jit: bool = True):
     """Returns jitted fn(pool, cam_hi (3,), cam_lo (3,), view_proj (4, 4))
     -> (pool', DeviceFrame).
 
@@ -77,9 +81,24 @@ def build_device_render(cfg: EngineConfig, width: int, height: int, *,
 
     stop_after: "full" | "refine" | "cache" | "generate" | "uniforms" |
     "tess" — debug knob that truncates the program for stage-cost
-    bisection (truncated stages return a zero image)."""
+    bisection (truncated stages return a zero image).
+
+    dynamic_roots: the step takes the refinement roots as traced arguments
+    (root_lo, root_hi (R,), root_ch, root_cl (R, 4, 3), root_depth (R,))
+    appended to the signature — the sharded engine feeds each chip its own
+    subtree roots (parallel/sharded_lod.py).
+
+    raster_out="packed" (exact raster only) makes the full step return
+    (pool, (packed (H, W) i32, n, n_gen, overflowed, q_lo, q_hi)) — the
+    min-composable framebuffer plus the rendered leaf ids, for multi-chip
+    pmin compositing. jit=False returns the untraced step for shard_map
+    composition."""
     max_lod = cfg.max_lod if max_lod is None else int(max_lod)
-    root_lo, root_hi, root_ch, root_cl = _roots_static(cfg.radius)
+    if raster_out not in ("decoded", "packed"):
+        raise ValueError(raster_out)
+    if raster_out == "packed" and cfg.raster_mode != "exact":
+        raise ValueError("packed raster output requires raster_mode='exact'")
+    static_roots = None if dynamic_roots else _roots_static(cfg.radius)
     dim = cfg.tile_dim
     rows_per_tile = dim * dim // tile_pallas.LANES
     # octave schedule always uses the planet's max_lod (reference passes
@@ -90,12 +109,17 @@ def build_device_render(cfg: EngineConfig, width: int, height: int, *,
     sh = np.float32(cfg.coord_scale)
     sl = np.float32(np.float64(cfg.coord_scale) - np.float64(sh))
 
-    def step(pool: dp.PoolState, cam_hi, cam_lo, view_proj):
+    def step(pool: dp.PoolState, cam_hi, cam_lo, view_proj, *roots):
         # ------------------------------------------------ 1. refinement
+        if dynamic_roots:
+            root_lo, root_hi, root_ch, root_cl, root_depth = roots
+        else:
+            root_lo, root_hi, root_ch, root_cl = static_roots
+            root_depth = None
         ref = refine_device.refine_device(
             cam_hi, cam_lo, root_lo, root_hi, root_ch, root_cl,
             max_lod=max_lod, cap=cap, radius=cfg.radius,
-            probe_fn_name=probe)
+            probe_fn_name=probe, root_depth=root_depth)
         n = ref.n_leaves
         row = jnp.arange(cap)
         active = row < n
@@ -237,10 +261,23 @@ def build_device_render(cfg: EngineConfig, width: int, height: int, *,
             meta = (n, jnp.sum(gen_ok.astype(_I32)),
                     ref.overflowed | overflow_render | (n_over > 0))
             return pool, (pv, vshade, valid, meta)
-        facing = jnp.sum(pv.world * pv.snormal, axis=-1) < 0.0
-        c, s, v = splat.upsample_cells(pv.clip, vshade, valid & facing,
-                                       cfg.raster_supersample)
-        image, depthbuf = splat.splat_frame(c, s, v, width, height)
+        if raster_out == "packed":
+            packed, _ = coverage.raster_frame(
+                pv.clip, pv.normal, valid, width, height,
+                cell_mask=mesh.cell_triangle_mask(), decode=False)
+            pool = dp.end_frame(pool)
+            overflowed = ref.overflowed | overflow_render | (n_over > 0)
+            return pool, (packed, n, jnp.sum(gen_ok.astype(_I32)),
+                          overflowed, q_lo, q_hi)
+        if cfg.raster_mode == "exact":
+            image, depthbuf, _ = coverage.raster_frame(
+                pv.clip, pv.normal, valid, width, height,
+                cell_mask=mesh.cell_triangle_mask())
+        else:
+            facing = jnp.sum(pv.world * pv.snormal, axis=-1) < 0.0
+            c, s, v = splat.upsample_cells(pv.clip, vshade, valid & facing,
+                                           cfg.raster_supersample)
+            image, depthbuf = splat.splat_frame(c, s, v, width, height)
 
         pool = dp.end_frame(pool)
         frame = DeviceFrame(
@@ -249,6 +286,8 @@ def build_device_render(cfg: EngineConfig, width: int, height: int, *,
             overflowed=ref.overflowed | overflow_render | (n_over > 0))
         return pool, frame
 
+    if not jit:
+        return step
     return jax.jit(step, donate_argnums=0)
 
 
@@ -268,7 +307,8 @@ class DeviceRenderer:
         self._geom = build_device_render(cfg, self.width, self.height,
                                          stop_after="geometry", **kw)
         self._raster = _raster_fn(self.width, self.height,
-                                  cfg.raster_supersample, False)
+                                  cfg.raster_supersample, False,
+                                  cfg.raster_mode)
 
     def init_pool(self) -> dp.PoolState:
         return dp.init(self.cfg.cache_capacity, self.cfg.tile_dim)
@@ -276,8 +316,53 @@ class DeviceRenderer:
     def render(self, pool, cam_hi, cam_lo, view_proj):
         pool, (pv, vshade, valid, meta) = self._geom(pool, cam_hi, cam_lo,
                                                      view_proj)
-        image, depthbuf = self._raster(pv.clip, vshade, valid, pv.world,
-                                       pv.snormal)
+        image, depthbuf = self._raster(pv.clip, vshade, pv.normal, valid,
+                                       pv.world, pv.snormal)
         n, n_gen, overflowed = meta
         return pool, DeviceFrame(image=image, depth=depthbuf, n_leaves=n,
                                  n_generated=n_gen, overflowed=overflowed)
+
+
+class PipelinedRenderer:
+    """Two-frame pipeline over DeviceRenderer: frame N+1's geometry
+    dispatch and frame N's host-side consumption overlap frame N's device
+    raster.
+
+    JAX dispatch is asynchronous, so submit() enqueues both device programs
+    and returns immediately with the PREVIOUS frame, already fetched to
+    host — the fetch (PNG encode, stats, tunnel transfer) runs while the
+    current frame computes on device. Program order is unchanged (the pool
+    threads through geometry dispatches in submission order), so pipelined
+    output is bitwise the sequential output; only wall-clock overlap
+    changes. This is the TPU analogue of the roadmap's "overlap frame N+1
+    generation with frame N raster" — on one chip XLA executes programs
+    in order, so the overlap won is host<->device, which through the axon
+    tunnel is the dominant per-frame latency (measured in
+    tools/bench_pipeline.py).
+    """
+
+    def __init__(self, renderer: DeviceRenderer, pool):
+        self._r = renderer
+        self._pool = pool
+        self._pending = None
+
+    @property
+    def pool(self):
+        return self._pool
+
+    def submit(self, cam_hi, cam_lo, view_proj):
+        """Enqueue one frame; returns the previous frame as host numpy
+        (image, DeviceFrame) or None on the first call."""
+        self._pool, frame = self._r.render(self._pool, cam_hi, cam_lo,
+                                           view_proj)
+        prev, self._pending = self._pending, frame
+        if prev is None:
+            return None
+        return np.asarray(prev.image), prev
+
+    def flush(self):
+        """Drain the last in-flight frame."""
+        prev, self._pending = self._pending, None
+        if prev is None:
+            return None
+        return np.asarray(prev.image), prev

@@ -100,14 +100,19 @@ def _subdivide(ch, cl, radius):
     "max_lod", "cap", "radius", "probe_fn_name"))
 def refine_device(cam_hi, cam_lo, root_lo, root_hi, root_ch, root_cl,
                   *, max_lod: int, cap: int, radius: float,
-                  probe_fn_name: str = "zero"):
-    """Full-device refinement. Roots: (6,) id words + (6, 4, 3) DF corners.
+                  probe_fn_name: str = "zero", root_depth=None):
+    """Full-device refinement. Roots: (R,) id words + (R, 4, 3) DF corners
+    — the 6 cube faces by default, or any frontier of same-tree quads (the
+    sharded engine refines per-chip SUBTREES from depth-1 roots,
+    parallel/sharded_lod.py). root_depth: (R,) i32 quad depths (default 0);
+    the split threshold's lod term is per-quad max_lod - depth
+    (main.cpp:560-571).
 
     probe_fn_name selects the probe-height model: "zero" (smooth sphere,
     ConstantZero generator, main.cpp:836-841) — the noisy probe variant is
     composed at the engine level where the Pallas kernel is available.
     """
-    n0 = 6
+    n0 = root_lo.shape[0]
 
     def pad(a, shape, dtype):
         out = jnp.zeros(shape, dtype)
@@ -117,7 +122,10 @@ def refine_device(cam_hi, cam_lo, root_lo, root_hi, root_ch, root_cl,
     f_hi = pad(root_hi, (cap,), _I32)
     f_ch = pad(root_ch, (cap, 4, 3), _F32)
     f_cl = pad(root_cl, (cap, 4, 3), _F32)
-    f_depth = jnp.zeros((cap,), _I32)
+    if root_depth is None:
+        f_depth = jnp.zeros((cap,), _I32)
+    else:
+        f_depth = pad(jnp.asarray(root_depth, _I32), (cap,), _I32)
     f_n = jnp.int32(n0)
 
     l_lo = jnp.zeros((cap,), _I32)
@@ -153,7 +161,7 @@ def refine_device(cam_hi, cam_lo, root_lo, root_hi, root_ch, root_cl,
          l_lo, l_hi, l_ch, l_cl, l_depth, l_n, overflow, level) = state
 
         active = jnp.arange(cap) < f_n
-        lod = max_lod - level
+        lodv = jnp.int32(max_lod) - f_depth            # (cap,) per-quad lod
 
         # --- probes: 4 corners + sphere midpoint, displaced by heights
         rh = np.float32(radius)
@@ -169,24 +177,44 @@ def refine_device(cam_hi, cam_lo, root_lo, root_hi, root_ch, root_cl,
         probes_h = jnp.concatenate([f_ch, mid_h[:, None, :]], axis=1)
         probes_l = jnp.concatenate([f_cl, mid_l[:, None, :]], axis=1)
         hts = probe_heights(probes_h, probes_l)              # (cap, 5)
-        # displace along outward normal: p * (1 + h/|p|) ~ p + n*h
-        plen = jnp.sqrt(jnp.sum(probes_h * probes_h, axis=-1))
-        disp = (probes_h * (1.0 + (hts / plen)[..., None])).astype(_F32)
 
-        d30 = disp[:, 3] - disp[:, 0]
-        d21 = disp[:, 2] - disp[:, 1]
-        denom = np.float32(1.0) + np.float32(2.5) * jnp.asarray(lod, _F32) \
-            / np.float32(max_lod)
-        d = (jnp.sum(d30 * d30, -1) + jnp.sum(d21 * d21, -1)) / denom
+        # Split decision entirely in double-float so device leaf sets are
+        # bit-stable vs the f64 host refiner (the reference evaluates
+        # ProcessQuad in double, main.cpp:546-571): displacement
+        # p * (1 + h/|p|), diagonals, camera-relative distances, and the
+        # lod-scaled threshold all carry ~1e-14 relative error, so a
+        # decision can only differ from the host's within that margin.
+        px = dfm.DF(probes_h[..., 0], probes_l[..., 0])
+        py = dfm.DF(probes_h[..., 1], probes_l[..., 1])
+        pz = dfm.DF(probes_h[..., 2], probes_l[..., 2])
+        plen = dfm.sqrt(dfm.dot3(px, py, pz, px, py, pz))
+        one = dfm.from_f32(jnp.float32(1.0))
+        scale = dfm.add(one, dfm.div(dfm.from_f32(hts), plen))
+        dx = dfm.mul(px, scale)
+        dy = dfm.mul(py, scale)
+        dz = dfm.mul(pz, scale)
 
-        # camera-relative distances: subtract hi then lo (hi subtraction is
-        # exact by Sterbenz when the probe is near the camera, which is
-        # exactly when precision matters)
-        relx = (disp[..., 0] - cam.hi[0]) - cam.lo[0]
-        rely = (disp[..., 1] - cam.hi[1]) - cam.lo[1]
-        relz = (disp[..., 2] - cam.hi[2]) - cam.lo[2]
-        dist2 = relx * relx + rely * rely + relz * relz      # (cap, 5)
-        split = active & (lod > 0) & (dist2 * 2.0 < d[:, None]).any(axis=1)
+        def at(c, i):
+            return dfm.DF(c.hi[:, i], c.lo[:, i])
+
+        d30 = [dfm.sub(at(c, 3), at(c, 0)) for c in (dx, dy, dz)]
+        d21 = [dfm.sub(at(c, 2), at(c, 1)) for c in (dx, dy, dz)]
+        diag = dfm.add(dfm.dot3(*d30, *d30), dfm.dot3(*d21, *d21))
+        lodf = lodv.astype(_F32)
+        denom = dfm.add(one, dfm.div(
+            dfm.mul(dfm.from_f32(jnp.float32(2.5)), dfm.from_f32(lodf)),
+            dfm.from_f32(jnp.float32(max_lod))))
+        d = dfm.div(diag, denom)                             # (cap,) DF
+
+        relx = dfm.sub(dx, dfm.DF(cam.hi[0], cam.lo[0]))
+        rely = dfm.sub(dy, dfm.DF(cam.hi[1], cam.lo[1]))
+        relz = dfm.sub(dz, dfm.DF(cam.hi[2], cam.lo[2]))
+        dist2 = dfm.dot3(relx, rely, relz, relx, rely, relz)  # (cap, 5) DF
+        lhs = dfm.mul_pow2(dist2, jnp.float32(2.0))
+        # lexicographic DF compare (canonical (hi, lo) pairs)
+        closer = (lhs.hi < d.hi[:, None]) | (
+            (lhs.hi == d.hi[:, None]) & (lhs.lo < d.lo[:, None]))
+        split = active & (lodv > 0) & closer.any(axis=1)
         leaf = active & ~split
 
         # --- compact leaves into leaf buffer (dump row `cap` for non-leaves)

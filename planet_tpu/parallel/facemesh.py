@@ -70,6 +70,87 @@ def edge_adjacency():
     return nbr_face, nbr_edge, reversed_
 
 
+def face_grid_points_df(n: int, radius: float, overscan: int = 0,
+                        row0=None, rows: int = None):
+    """Device-side double-float twin of face_grid_points for all 6 faces.
+
+    Returns (px, py, pz) as nums.df.DF, each (6, R, n+2o) — computed
+    entirely on device from the 6x4x3 corner constants, so planet-scale
+    point grids never cross the host boundary (at 6x2048^2 the host f64
+    grids would be ~600 MB of transfer). Precision: bilinear weights are
+    built in DF (exact u = (i+0.5)/n division), positions normalized with
+    DF sqrt/div — matches the host f64 path to ~1e-13 relative.
+
+    row0/rows select a horizontal strip: R = rows (static) grid rows
+    starting at global row row0 (traced — the streaming 6x8192^2 path
+    launches one strip at a time with only a scalar crossing the host
+    boundary, benchmarks/bench_configs.py config 5). Default: all rows
+    (R = n + 2o).
+    """
+    import jax.numpy as jnp
+
+    from planet_tpu.nums import df as dfm
+
+    o = int(overscan)
+    g = n + 2 * o
+    corners = cubesphere.root_corners(1.0)            # (6, 4, 3) f64
+    ch, cl = dfm.from_f64_np(corners)
+    ch = jnp.asarray(ch)
+    cl = jnp.asarray(cl)
+
+    def param(idx_f32):
+        """Edge parameter (i + 0.5)/n in DF for f32 grid indices."""
+        return dfm.div(dfm.DF(idx_f32, jnp.zeros_like(idx_f32)),
+                       dfm.from_f32(jnp.float32(n)))
+
+    ci = jnp.arange(-o, n + o, dtype=jnp.float32) + jnp.float32(0.5)
+    u1 = param(ci)                                    # (g,) columns
+    if rows is None:
+        v1 = u1
+        gr = g
+    else:
+        gr = int(rows)
+        ri = (jnp.arange(gr, dtype=jnp.float32) + jnp.float32(0.5)
+              + jnp.asarray(row0, jnp.float32) - jnp.float32(o))
+        v1 = param(ri)                                # (gr,) strip rows
+    one = dfm.from_f32(jnp.float32(1.0))
+    w1 = dfm.sub(one, u1)
+    wv1 = dfm.sub(one, v1)
+
+    def bcast(d, row):
+        # rows (gr,) -> (gr, g) down rows; cols (g,) -> (gr, g) across
+        f = (lambda a: jnp.broadcast_to(a[:, None], (gr, g))) if row \
+            else (lambda a: jnp.broadcast_to(a[None, :], (gr, g)))
+        return dfm.DF(f(d.hi), f(d.lo))
+
+    u = bcast(u1, False)       # x along columns (meshgrid indexing="xy")
+    v = bcast(v1, True)
+    nu = bcast(w1, False)
+    nv = bcast(wv1, True)
+
+    w00 = dfm.mul(nu, nv)
+    w10 = dfm.mul(u, nv)
+    w01 = dfm.mul(nu, v)
+    w11 = dfm.mul(u, v)
+
+    rad = dfm.from_f64(np.float64(radius))
+    out = []
+    for k in range(3):
+        comps = []
+        for f in range(6):
+            c = lambda j: dfm.DF(ch[f, j, k], cl[f, j, k])
+            p = dfm.add(dfm.add(dfm.mul(w00, c(0)), dfm.mul(w10, c(1))),
+                        dfm.add(dfm.mul(w01, c(2)), dfm.mul(w11, c(3))))
+            comps.append(p)
+        out.append(dfm.DF(jnp.stack([p.hi for p in comps]),
+                          jnp.stack([p.lo for p in comps])))
+    px, py, pz = out
+    n2 = dfm.dot3(px, py, pz, px, py, pz)
+    inv_len = dfm.div(rad, dfm.sqrt(n2))
+    return (dfm.mul(px, inv_len), dfm.mul(py, inv_len),
+            dfm.mul(pz, inv_len))
+
+
 def face_grid_points(face: int, n: int, radius: float,
                      overscan: int = 0) -> np.ndarray:
     """(n+2o, n+2o, 3) f64 sphere points of face `face` sampled at texel

@@ -1,4 +1,4 @@
-"""Multi-chip sharded heightfield step (BASELINE config 5 skeleton).
+"""Multi-chip sharded heightfield step (BASELINE config 5 field path).
 
 Sharding layout: the (6, H, W) cube-sphere heightfield is sharded by ROWS
 over one mesh axis — each chip owns a (6, H/n, W) strip of every face.
@@ -8,12 +8,18 @@ Collectives used (all over ICI within a slice):
   row-neighbor chips, so central-difference normals at strip seams see the
   neighbor's true heights (the TPU generalization of the reference's
   overscan border, main.cpp:135-148).
-* `lax.psum` — frame statistics reduction (texel count, height checksum),
-  the reference's title-bar stats (main.cpp:1030-1037) as a collective.
+* `lax.psum` — (a) assembly of the global face-edge ring (the 6x4 boundary
+  lines, ~6*4*H*4 bytes — tiny next to the field) from each chip's
+  disjoint contributions, so every chip can take its face-SEAM halos from
+  the true neighbor-face texels routed by the static cube adjacency table
+  (parallel.facemesh.edge_adjacency — the reference's overscan-border
+  semantics, main.cpp:135-148/197-199, generalized across chips);
+  (b) frame statistics reduction (texel count, height checksum), the
+  reference's title-bar stats (main.cpp:1030-1037) as a collective.
 
-At the global top/bottom face edges the halo clamps to the local row
-(matching CLAMP_TO_EDGE sampling; face-seam-exact normals use overscanned
-point grids instead, see parallel.facemesh.face_grid_points).
+seam="exchange" (default) performs that face-seam exchange; seam="clamp"
+keeps the historical CLAMP_TO_EDGE behavior (one-sided derivatives at face
+edges) for comparison and for non-square fields.
 """
 
 from __future__ import annotations
@@ -28,9 +34,32 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from planet_tpu.models import heightfield
+from planet_tpu.parallel import facemesh
 from planet_tpu.raster import shade as shade_mod
 
 _F32 = jnp.float32
+
+
+def _seam_lines(ring):
+    """(6, 4, H) global edge ring -> per-face halo lines, each indexed along
+    the OWNING face's edge direction (edge 0/2: u increasing = columns;
+    edge 1/3: v increasing = rows): (top, bot, left, right), each (6, H).
+
+    The halo texel across a face seam is the neighbor face's boundary texel
+    (its first interior line), so both faces' central differences at the
+    seam read the same height pair."""
+    nbr_f, nbr_e, rev = facemesh.edge_adjacency()
+    out = []
+    for e in (facemesh.EDGE_V0, facemesh.EDGE_V1,
+              facemesh.EDGE_U0, facemesh.EDGE_U1):
+        lines = []
+        for f in range(6):
+            line = ring[int(nbr_f[f, e]), int(nbr_e[f, e])]
+            if rev[f, e]:
+                line = line[::-1]
+            lines.append(line)
+        out.append(jnp.stack(lines))
+    return tuple(out)                        # top, bot, left, right
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "rows",
@@ -43,14 +72,19 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "rows",
 
 def sharded_field_step(mesh: Mesh, *, octaves: int = 6, kind: str = "ridged",
                        xyscale: float = 1000.0, use_pallas: bool = False,
-                       interpret: Optional[bool] = None, axis: str = "rows"):
+                       interpret: Optional[bool] = None, axis: str = "rows",
+                       seam: str = "exchange"):
     """Builds the jitted sharded step: (6, H, W) DF point components in
     (row-sharded), -> (heights, shade, stats) with halo exchange + psum.
 
     use_pallas=False by default so the same program runs on CPU meshes
     (driver dry-run) and TPU; flip on for real multi-chip runs.
+    seam: "exchange" routes face-seam halos from the neighbor face via the
+    adjacency table (requires H == W); "clamp" keeps CLAMP_TO_EDGE.
     """
     n = mesh.shape[axis]
+    if seam not in ("exchange", "clamp"):
+        raise ValueError(seam)
 
     def step(px_hi, px_lo, py_hi, py_lo, pz_hi, pz_lo):
         from planet_tpu.nums.df import DF
@@ -58,19 +92,52 @@ def sharded_field_step(mesh: Mesh, *, octaves: int = 6, kind: str = "ridged",
             DF(px_hi, px_lo), DF(py_hi, py_lo), DF(pz_hi, pz_lo),
             kind=kind, octaves=octaves, use_pallas=use_pallas,
             interpret=interpret)                     # (6, H/n, W) local
+        hl, w = h.shape[1], h.shape[2]
+        hg = hl * n                                  # global rows
 
-        # --- halo exchange: one boundary row in each direction over ICI
+        # --- strip halos: one boundary row each way between row neighbors
         idx = lax.axis_index(axis)
         down_links = [(i, i + 1) for i in range(n - 1)]   # my bottom -> next
         up_links = [(i, i - 1) for i in range(1, n)]      # my top -> prev
         from_above = lax.ppermute(h[:, -1:, :], axis, down_links)
         from_below = lax.ppermute(h[:, :1, :], axis, up_links)
-        top_halo = jnp.where(idx == 0, h[:, :1, :], from_above)
-        bot_halo = jnp.where(idx == n - 1, h[:, -1:, :], from_below)
-        h_rows = jnp.concatenate([top_halo, h, bot_halo], axis=1)
-        # x halo: clamp locally (rows are complete in-shard)
-        h_pad = jnp.concatenate(
-            [h_rows[:, :, :1], h_rows, h_rows[:, :, -1:]], axis=2)
+
+        if seam == "exchange":
+            if hg != w:
+                raise ValueError("seam='exchange' needs square faces")
+            # --- global face-edge ring from disjoint contributions
+            r0 = (idx * hl).astype(jnp.int32)
+            zero = jnp.int32(0)
+            ring = jnp.zeros((6, 4, hg), _F32)
+            ring = lax.dynamic_update_slice(
+                ring, h[:, :, -1][:, None, :], (zero, jnp.int32(1), r0))
+            ring = lax.dynamic_update_slice(
+                ring, h[:, :, 0][:, None, :], (zero, jnp.int32(3), r0))
+            is_top = (idx == 0).astype(_F32)
+            is_bot = (idx == n - 1).astype(_F32)
+            ring = ring.at[:, 0, :].add(h[:, 0, :] * is_top)
+            ring = ring.at[:, 2, :].add(h[:, -1, :] * is_bot)
+            ring = lax.psum(ring, axis)
+
+            top_own, bot_own, left, right = _seam_lines(ring)
+            top_halo = jnp.where(idx == 0, top_own[:, None, :], from_above)
+            bot_halo = jnp.where(idx == n - 1, bot_own[:, None, :],
+                                 from_below)
+            h_rows = jnp.concatenate([top_halo, h, bot_halo], axis=1)
+            lcol = lax.dynamic_slice(left, (zero, r0), (6, hl))
+            rcol = lax.dynamic_slice(right, (zero, r0), (6, hl))
+            # pad halo columns to the extended rows (corner texels are never
+            # read by the central-difference normal; clamp them)
+            lc = jnp.concatenate([lcol[:, :1], lcol, lcol[:, -1:]], axis=1)
+            rc = jnp.concatenate([rcol[:, :1], rcol, rcol[:, -1:]], axis=1)
+            h_pad = jnp.concatenate(
+                [lc[:, :, None], h_rows, rc[:, :, None]], axis=2)
+        else:
+            top_halo = jnp.where(idx == 0, h[:, :1, :], from_above)
+            bot_halo = jnp.where(idx == n - 1, h[:, -1:, :], from_below)
+            h_rows = jnp.concatenate([top_halo, h, bot_halo], axis=1)
+            h_pad = jnp.concatenate(
+                [h_rows[:, :, :1], h_rows, h_rows[:, :, -1:]], axis=2)
 
         normal = heightfield.normals_from_heights(h_pad, xyscale)
         sh = shade_mod.lambert(normal)
@@ -89,9 +156,13 @@ def sharded_field_step(mesh: Mesh, *, octaves: int = 6, kind: str = "ridged",
 
 def unsharded_field_step(*, octaves: int = 6, kind: str = "ridged",
                          xyscale: float = 1000.0, use_pallas: bool = False,
-                         interpret: Optional[bool] = None):
+                         interpret: Optional[bool] = None,
+                         seam: str = "exchange"):
     """Single-device twin of sharded_field_step for seam-consistency tests:
-    sharded output must equal this bitwise (same op order, clamp halos)."""
+    sharded output must equal this bitwise (same halo values, same op
+    order)."""
+    if seam not in ("exchange", "clamp"):
+        raise ValueError(seam)
 
     def step(px_hi, px_lo, py_hi, py_lo, pz_hi, pz_lo):
         from planet_tpu.nums.df import DF
@@ -99,9 +170,23 @@ def unsharded_field_step(*, octaves: int = 6, kind: str = "ridged",
             DF(px_hi, px_lo), DF(py_hi, py_lo), DF(pz_hi, pz_lo),
             kind=kind, octaves=octaves, use_pallas=use_pallas,
             interpret=interpret)
-        h_rows = jnp.concatenate([h[:, :1, :], h, h[:, -1:, :]], axis=1)
-        h_pad = jnp.concatenate(
-            [h_rows[:, :, :1], h_rows, h_rows[:, :, -1:]], axis=2)
+        if seam == "exchange":
+            if h.shape[1] != h.shape[2]:
+                raise ValueError("seam='exchange' needs square faces")
+            ring = jnp.stack(
+                [h[:, 0, :], h[:, :, -1], h[:, -1, :], h[:, :, 0]], axis=1)
+            top, bot, left, right = _seam_lines(ring)
+            h_rows = jnp.concatenate(
+                [top[:, None, :], h, bot[:, None, :]], axis=1)
+            lc = jnp.concatenate([left[:, :1], left, left[:, -1:]], axis=1)
+            rc = jnp.concatenate([right[:, :1], right, right[:, -1:]],
+                                 axis=1)
+            h_pad = jnp.concatenate(
+                [lc[:, :, None], h_rows, rc[:, :, None]], axis=2)
+        else:
+            h_rows = jnp.concatenate([h[:, :1, :], h, h[:, -1:, :]], axis=1)
+            h_pad = jnp.concatenate(
+                [h_rows[:, :, :1], h_rows, h_rows[:, :, -1:]], axis=2)
         normal = heightfield.normals_from_heights(h_pad, xyscale)
         sh = shade_mod.lambert(normal)
         texels = jnp.float32(h.size)

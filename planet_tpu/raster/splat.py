@@ -81,7 +81,10 @@ def upsample_cells(clip, shade, valid, k: int, wireframe: bool = False):
     per-fragment arrays with (G-1)*k points per axis.
 
     wireframe=True keeps only cell-edge fragments (the reference's key-P
-    GL_LINE polygon mode, main.cpp:980-985)."""
+    GL_LINE polygon mode, main.cpp:980-985). NOTE: wireframe needs k > 1
+    (at k = 1 this function is an identity passthrough and no edge
+    selection happens) — the engine keeps raster_supersample >= 2 whenever
+    wireframe is on."""
     if k <= 1:
         return clip, shade, valid
 

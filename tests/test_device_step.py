@@ -79,6 +79,43 @@ def test_device_step_matches_host_engine_smooth_sphere():
     assert np.abs(himg[lit] - img[lit]).max() < 2e-2
 
 
+def test_pipelined_renderer_matches_sequential():
+    """Two-frame pipelining must not change output: same pool evolution,
+    same images, just overlapped host/device work (device_step.
+    PipelinedRenderer docstring)."""
+    cams = [cam_mod.Camera(
+        position=2.2 * CFG.radius * np.array([np.sin(t), 0.0, -np.cos(t)]),
+        angles=np.array([np.pi / 2, 0.0, 0.0], np.float32))
+        for t in (0.0, 0.01, 0.02)]
+    args = []
+    for cam in cams:
+        cam_df = dfm.from_f64(cam.position)
+        args.append((np.asarray(cam_df.hi), np.asarray(cam_df.lo),
+                     _vp(cam)))
+
+    kw = dict(cap=1024, gen_cap=128, render_cap=128, max_lod=4,
+              probe="zero", interpret=True)
+    r = device_step.DeviceRenderer(CFG, W, H, **kw)
+
+    pool = r.init_pool()
+    seq = []
+    for a in args:
+        pool, fr = r.render(pool, *a)
+        seq.append(np.asarray(fr.image))
+
+    pipe = device_step.PipelinedRenderer(r, r.init_pool())
+    got = []
+    for a in args:
+        out = pipe.submit(*a)
+        if out is not None:
+            got.append(out[0])
+    got.append(pipe.flush()[0])
+    assert pipe.flush() is None
+    assert len(got) == len(seq)
+    for a, b in zip(got, seq):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_words_dfs_key_matches_host_order():
     rng = np.random.default_rng(11)
     ids = []

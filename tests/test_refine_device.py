@@ -51,6 +51,58 @@ def test_device_refine_matches_host_zero_probes():
         assert err < 1e-9, (i, err)
 
 
+def _ridged6_height_fn(p):
+    """Host-side probe heights through the device's own DF noise path, so
+    host and device refiners see identical probe heights and the test
+    isolates the refiner's split geometry (reference terrain chain
+    main.cpp:552-556 / 823-832)."""
+    from planet_tpu.ops.kernels import perlin_pallas as pk
+
+    d = dfm.from_f64(np.asarray(p, np.float64))
+    sh = np.float32(1e-5)
+    sl = np.float32(np.float64(1e-5) - np.float64(sh))
+    xh, xl = pk._df_scale(d.hi[..., 0], d.lo[..., 0], sh, sl)
+    yh, yl = pk._df_scale(d.hi[..., 1], d.lo[..., 1], sh, sl)
+    zh, zl = pk._df_scale(d.hi[..., 2], d.lo[..., 2], sh, sl)
+    h = pk.noise_df("ridged", xh, xl, yh, yl, zh, zl,
+                    octaves=6, gain=np.float32(0.55))
+    return np.asarray(h) * np.float32(8848.0)
+
+
+def test_device_refine_matches_host_terrain_orbit():
+    """DF-exact split decisions: across an orbit of real-terrain cameras the
+    device refiner must produce the host refiner's exact leaf sets (the
+    reference evaluates ProcessQuad in double, main.cpp:546-571; the device
+    evaluates it in double-float, ~1e-14 relative)."""
+    max_lod = 7
+    lo, hi, ch, cl = _roots()
+
+    rng = np.random.default_rng(42)
+    angles = np.linspace(0.0, 2 * np.pi, 4, endpoint=False)
+    alts = [30e3, 300e3, 3000e3, 120.0]
+    for ang, alt in zip(angles, alts):
+        cdir = np.array([np.cos(ang), 0.31 * np.sin(2 * ang), np.sin(ang)])
+        cdir /= np.linalg.norm(cdir)
+        cam = cdir * (RADIUS + alt)
+
+        host = refine.refine(cam, max_lod, RADIUS,
+                             height_fn=_ridged6_height_fn)
+
+        cam_df = dfm.from_f64(cam)
+        dev = refine_device.refine_device(
+            np.asarray(cam_df.hi), np.asarray(cam_df.lo), lo, hi, ch, cl,
+            max_lod=max_lod, cap=8192, radius=RADIUS,
+            probe_fn_name="ridged6")
+        assert not bool(dev.overflowed)
+        n = int(dev.n_leaves)
+        got = set(int(q) for q in quadid.from_words(
+            np.asarray(dev.leaf_lo[:n]), np.asarray(dev.leaf_hi[:n])))
+        want = set(int(q) for q in host.ids)
+        assert got == want, (
+            f"alt={alt}: {len(got - want)} extra, {len(want - got)} missing "
+            f"of {len(want)} leaves")
+
+
 def test_device_refine_overflow_flag():
     cam = np.array([0.0, 0.0, -(RADIUS + 50.0)])   # very close: deep splits
     lo, hi, ch, cl = _roots()

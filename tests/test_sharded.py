@@ -122,3 +122,115 @@ def test_face_grid_overscan_continuity():
                 assert (d < 0).all(), (f, e, g)
             else:
                 assert (d > 0).all(), (f, e, g)
+
+
+def test_seam_lines_route_neighbor_texels():
+    """The face-seam halo must be the geometrically nearest boundary texel
+    of the adjacent face (the texel just across the seam): brute-force the
+    nearest neighbor in 3D and check _seam_lines routes exactly it."""
+    n = 16
+    h = np.arange(6 * n * n, dtype=np.float32).reshape(6, n, n)
+    ring = np.stack([h[:, 0, :], h[:, :, -1], h[:, -1, :], h[:, :, 0]],
+                    axis=1)
+    top, bot, left, right = (np.asarray(a) for a in
+                             sharded._seam_lines(jnp.asarray(ring)))
+    pts = np.stack([facemesh.face_grid_points(f, n, 1.0) for f in range(6)])
+    own_pos = {facemesh.EDGE_V0: pts[:, 0, :],     # (6, n, 3) along u
+               facemesh.EDGE_V1: pts[:, -1, :],
+               facemesh.EDGE_U0: pts[:, :, 0],     # along v
+               facemesh.EDGE_U1: pts[:, :, -1]}
+    halo = {facemesh.EDGE_V0: top, facemesh.EDGE_V1: bot,
+            facemesh.EDGE_U0: left, facemesh.EDGE_U1: right}
+    nbr_face, nbr_edge, _ = facemesh.edge_adjacency()
+    for f in range(6):
+        for e in range(4):
+            g, e2 = int(nbr_face[f, e]), int(nbr_edge[f, e])
+            gpos = own_pos[e2][g]                  # (n, 3) g's boundary
+            gval = ring[g, e2]                     # matching values
+            for i in range(n):
+                j = np.argmin(((gpos - own_pos[e][f, i]) ** 2).sum(-1))
+                assert halo[e][f, i] == gval[j], (f, e, i, g, e2, j)
+
+
+def test_sharded_clamp_mode_still_available():
+    comps = _points(H=16, W=16)
+    mesh = sharded.make_mesh(4)
+    f_sh = sharded.sharded_field_step(mesh, octaves=2, xyscale=500.0,
+                                      seam="clamp")
+    f_un = sharded.unsharded_field_step(octaves=2, xyscale=500.0,
+                                        seam="clamp")
+    _, sh_s, _ = f_sh(*comps)
+    _, sh_u, _ = f_un(*comps)
+    np.testing.assert_array_equal(np.asarray(sh_s), np.asarray(sh_u))
+
+
+def test_exchange_fixes_seam_derivatives():
+    """With face-seam exchange, the central difference at a face's edge
+    texel must use the neighbor face's height (not a clamped copy): compare
+    the u-derivative implied at the u=0 edge against a direct computation
+    from the two faces' heights."""
+    comps = _points(H=16, W=16)
+    f_ex = sharded.unsharded_field_step(octaves=2, xyscale=500.0)
+    f_cl = sharded.unsharded_field_step(octaves=2, xyscale=500.0,
+                                        seam="clamp")
+    h, sh_ex, _ = f_ex(*comps)
+    _, sh_cl, _ = f_cl(*comps)
+    h = np.asarray(h)
+    sh_ex, sh_cl = np.asarray(sh_ex), np.asarray(sh_cl)
+    # interior must be identical; some edge texels must differ
+    np.testing.assert_array_equal(sh_ex[:, 1:-1, 1:-1], sh_cl[:, 1:-1, 1:-1])
+    edge_mask = np.ones_like(sh_ex, bool)
+    edge_mask[:, 1:-1, 1:-1] = False
+    assert (sh_ex[edge_mask] != sh_cl[edge_mask]).any()
+
+
+def test_face_grid_points_df_row_strips_tile_the_grid():
+    """Strip generation (row0/rows) must reproduce the full grid exactly:
+    same DF hi/lo words, strip by strip (the streaming config-5 path)."""
+    import jax
+
+    n, radius = 32, 6371000.0
+    ref = np.stack([facemesh.face_grid_points(f, n, radius)
+                    for f in range(6)])               # (6, n, n, 3) f64
+    strip = 8
+    f = jax.jit(lambda r0: facemesh.face_grid_points_df(
+        n, radius, row0=r0, rows=strip))
+    for r0 in range(0, n, strip):
+        got = f(jnp.int32(r0))
+        vals = np.stack([np.asarray(a.hi, np.float64)
+                         + np.asarray(a.lo, np.float64) for a in got],
+                        axis=-1)
+        # XLA:CPU's FMA contraction bounds jitted DF at ~5e-8 relative
+        # (nums/df.py note); TPU is exact to ~1e-13
+        err = np.abs(vals - ref[:, r0:r0 + strip]) / radius
+        assert err.max() < 5e-7, (r0, err.max())
+
+
+def test_face_grid_points_df_matches_host_f64():
+    """Device-side DF cube-sphere points vs the host f64 generator.
+
+    Eager DF is exact to ~1e-14 relative; under jit on XLA:CPU the EFTs
+    lose to FMA contraction (documented in nums/df.py), so the jitted
+    check only asserts ~f32-level agreement — the TPU backend is measured
+    exact (see df.py note).
+    """
+    import jax
+    import numpy as np
+
+    from planet_tpu.parallel import facemesh
+
+    n, radius, o = 32, 6371000.0, 1
+    ref = np.stack([facemesh.face_grid_points(f, n, radius, o)
+                    for f in range(6)])
+
+    def collect(px, py, pz):
+        return np.stack(
+            [np.asarray(a.hi, np.float64) + np.asarray(a.lo, np.float64)
+             for a in (px, py, pz)], axis=-1)
+
+    eager = collect(*facemesh.face_grid_points_df(n, radius, o))
+    assert (np.abs(eager - ref) / radius).max() < 1e-12
+
+    jitted = collect(*jax.jit(
+        lambda: facemesh.face_grid_points_df(n, radius, o))())
+    assert (np.abs(jitted - ref) / radius).max() < 5e-7

@@ -1,0 +1,131 @@
+"""Sharded streaming-LOD engine on the fake 8-device CPU mesh: the pmin
+z-composite of per-chip subtree renders must equal the single-device fused
+step over the same 24 depth-1 roots BITWISE, with matching leaf sets and
+psum'd stats (parallel/sharded_lod.py; reference semantics RenderPlanet
+main.cpp:600-683, subtree split main.cpp:581-594)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from planet_tpu.cache import device_pool as dp
+from planet_tpu.engine import device_step
+from planet_tpu.engine.config import EngineConfig
+from planet_tpu.geom import camera as cam_mod, quadid
+from planet_tpu.nums import df as dfm
+from planet_tpu.parallel import sharded, sharded_lod
+from planet_tpu.raster import coverage
+
+W, H = 160, 120
+MAX_LOD = 4
+CFG = EngineConfig(use_pallas=False, cache_capacity=256)
+
+
+def _camera_args():
+    cdir = np.array([0.3, 0.4, -0.85])
+    cdir /= np.linalg.norm(cdir)
+    cam_pos = cdir * (CFG.radius * 1.8)
+    cam = cam_mod.Camera(position=cam_pos,
+                         angles=np.array([0.6, 0.2, 0.0], np.float32))
+    rot = cam_mod.camera_rotation(cam)
+    pf = cam_mod.proj_factor_from_fovy(np.deg2rad(CFG.fovy_deg))
+    proj = cam_mod.perspective_lh(pf, W / H, CFG.near_plane, CFG.far_plane)
+    vp = jnp.asarray((proj @ cam_mod.view_from_rotation(rot))
+                     .astype(np.float32))
+    ch, cl = dfm.from_f64_np(cam_pos)
+    return jnp.asarray(ch), jnp.asarray(cl), vp
+
+
+def _leaf_ids(q_lo, q_hi, count):
+    n = int(count)
+    return set(int(q) for q in quadid.from_words(
+        np.asarray(q_lo[:n]), np.asarray(q_hi[:n])))
+
+
+def test_subtree_roots_are_the_24_depth1_quads():
+    lo, hi, ch, cl, depth = sharded_lod.subtree_roots(CFG.radius)
+    ids = quadid.from_words(np.asarray(lo), np.asarray(hi))
+    assert len(set(int(q) for q in ids)) == 24
+    np.testing.assert_array_equal(np.asarray(depth), 1)
+    for q in ids:
+        assert int(quadid.depth_of(np.uint64(q))) == 1
+    # corners lie on the sphere to DF precision (jitted XLA:CPU degrades
+    # the EFTs to ~5e-9 by FMA contraction — see nums/df.py; TPU is exact)
+    p = np.asarray(ch, np.float64) + np.asarray(cl, np.float64)
+    r = np.linalg.norm(p, axis=-1)
+    np.testing.assert_allclose(r, CFG.radius, rtol=1e-8)
+
+
+def test_sharded_lod_matches_single_device():
+    n_dev = 8
+    mesh = sharded.make_mesh(n_dev, axis="quads")
+    fn = sharded_lod.build_sharded_render(
+        CFG, mesh, W, H, cap=512, render_cap=64, gen_cap=64,
+        max_lod=MAX_LOD, probe="zero", interpret=True)
+    roots = sharded_lod.subtree_roots(CFG.radius)
+    pools = sharded_lod.init_pools(n_dev, CFG.cache_capacity, CFG.tile_dim)
+    ch, cl, vp = _camera_args()
+    pools, frame, (llo, lhi, lcnt) = fn(pools, ch, cl, vp, *roots)
+    assert not bool(frame.overflowed)
+
+    base = device_step.build_device_render(
+        CFG, W, H, cap=4096, render_cap=512, gen_cap=512,
+        max_lod=MAX_LOD, probe="zero", interpret=True,
+        dynamic_roots=True, raster_out="packed")
+    pool1 = dp.init(1024, CFG.tile_dim)
+    pool1, (packed, n1, ngen1, ovf1, qlo1, qhi1) = base(
+        pool1, ch, cl, vp, *roots)
+    img1, dep1 = coverage.decode_packed(packed)
+
+    # stats: psum'd totals equal the single-device run
+    assert int(frame.n_leaves) == int(n1)
+    assert int(frame.n_generated) == int(ngen1)
+
+    # leaf sets: the union of per-chip subtree leaves is the global set
+    lcnt = np.asarray(lcnt)
+    rc = 64
+    got = set()
+    for i in range(n_dev):
+        part = _leaf_ids(llo[i * rc:(i + 1) * rc],
+                         lhi[i * rc:(i + 1) * rc], lcnt[i])
+        assert not (got & part), "subtree leaf sets must be disjoint"
+        got |= part
+    want = _leaf_ids(qlo1, qhi1, n1)
+    assert got == want
+
+    # the composited PACKED frame is bitwise the single-device frame; the
+    # f32 decode may differ by 1 ulp between programs (XLA lowers /1023
+    # as reciprocal-mul in one and true divide in the other), so compare
+    # after re-quantizing to the packed integers
+    img_s = np.asarray(frame.image)
+    dep_s = np.asarray(frame.depth)
+    img_1 = np.asarray(img1)
+    dep_1 = np.asarray(dep1)
+    np.testing.assert_array_equal(np.isfinite(dep_s), np.isfinite(dep_1))
+    np.testing.assert_array_equal(np.round(img_s * 1023).astype(np.int32),
+                                  np.round(img_1 * 1023).astype(np.int32))
+    cov = np.isfinite(dep_s)
+    # NDC z decode: 1-ulp divide differences near z=1 re-quantize off by
+    # one, so bound the decoded difference by one 21-bit quantum instead
+    assert np.abs(dep_s[cov] - dep_1[cov]).max() <= 2.0 / (2**21 - 1)
+    assert cov.any()
+
+
+def test_sharded_lod_second_frame_cache_hits():
+    """Frame 2 with warm pools: no regeneration, same image (the per-chip
+    pools keyed by QuadID behave like the reference cache, main.cpp:191-278,
+    replicated per chip)."""
+    n_dev = 4
+    mesh = sharded.make_mesh(n_dev, axis="quads")
+    fn = sharded_lod.build_sharded_render(
+        CFG, mesh, W, H, cap=512, render_cap=128, gen_cap=128,
+        max_lod=MAX_LOD, probe="zero", interpret=True)
+    roots = sharded_lod.subtree_roots(CFG.radius)
+    pools = sharded_lod.init_pools(n_dev, CFG.cache_capacity, CFG.tile_dim)
+    ch, cl, vp = _camera_args()
+    pools, f1, _ = fn(pools, ch, cl, vp, *roots)
+    img1 = np.asarray(f1.image)
+    n_gen1 = int(f1.n_generated)
+    pools, f2, _ = fn(pools, ch, cl, vp, *roots)
+    assert n_gen1 > 0
+    assert int(f2.n_generated) == 0
+    np.testing.assert_array_equal(np.asarray(f2.image), img1)
