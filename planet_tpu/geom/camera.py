@@ -33,7 +33,9 @@ def perspective_lh(proj_factor: float, aspect_ratio: float,
 def ortho_lh(left: float, right: float, bottom: float, top: float,
              near: float, far: float) -> np.ndarray:
     """Left-handed orthographic projection mapping near -> -1, far -> 1
-    (reference Mat4OrthoLH, math.h:270-283)."""
+    (reference Mat4OrthoLH, math.h:270-283). Library-surface parity: the
+    planet frame path is perspective-only, like the reference (which also
+    never calls its ortho constructor); kept for embedding UIs."""
     m = np.zeros((4, 4), np.float32)
     m[0, 0] = np.float32(2.0 / (right - left))
     m[1, 1] = np.float32(2.0 / (top - bottom))

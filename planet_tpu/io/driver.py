@@ -4,25 +4,113 @@ title-bar stats line, persist camera state.
 
 Usage:
     python -m planet_tpu.io.driver [--frames N] [--out DIR] [--orbit]
-        [--width W] [--height H] [--save FILE] [--slot K] [--timing]
+        [--width W] [--height H] [--save FILE] [--slot K] [--save-slot K]
+        [--timing] [--interactive]
 
-Camera controls are scripted (an orbit or saved slots) — the reference's
-WASD/arrow interaction maps to `update_camera` calls, which scripts or an
-embedding UI can drive at will.
+Camera controls come three ways: scripted (an orbit or saved slots), the
+slot flags (--slot recalls, --save-slot stores — the reference's F1-F12 /
+shift+F1-F12, main.cpp:958-975), or `--interactive`, a line-oriented
+terminal mode mapping the reference key set (main.cpp:947-1000) onto
+`update_camera` and the engine toggles — see INTERACTIVE_HELP.
 """
 
 from __future__ import annotations
 
 import argparse
 import os
+import sys
 import time
 
 import numpy as np
 
 from planet_tpu.engine.config import EngineConfig
 from planet_tpu.engine.planet import PlanetEngine
+from planet_tpu.geom import camera as cam_mod
 from planet_tpu.io import checkpoint, png
 from planet_tpu.utils import timing
+
+INTERACTIVE_HELP = """\
+Interactive commands (one line = keys held for one 1/30 s step, then a
+frame renders and its stats print; reference key map main.cpp:947-1000):
+  w / s          move forward / back       a / d   strafe left / right
+  up down left right   look (arrow keys)
+  1..8           move speed 10^n m/s (number keys)
+  f1..f12        recall camera slot K     sf1..sf12  save to slot K (shift+F)
+  p              wireframe toggle          k       skirt toggle
+  t              timing-print toggle       png     dump frame to --out
+  help           this text                 q       quit (persists state)
+"""
+
+
+def run_interactive(engine: PlanetEngine, cam, slots, width: int,
+                    height: int, out_dir: str, stream=None, echo=True):
+    """Line-oriented interactive loop; `stream` defaults to stdin (tests
+    feed a StringIO). Returns the final camera. dt is a fixed 1/30 s so
+    command scripts are deterministic."""
+    stream = stream if stream is not None else sys.stdin
+    dt = 1.0 / 30.0
+    look_speed = 1.5
+    move_speed = cam_mod.speed_for_digit(3)
+    frame_no = 0
+    for line in stream:
+        tokens = line.split()
+        if "q" in tokens:
+            break
+        move = np.zeros(3, np.float32)
+        look = np.zeros(3, np.float32)
+        dump = False
+        for tok in tokens:
+            if tok == "w":
+                move[2] += 1.0
+            elif tok == "s":
+                move[2] -= 1.0
+            elif tok == "a":
+                move[0] -= 1.0
+            elif tok == "d":
+                move[0] += 1.0
+            elif tok == "up":
+                look[0] -= 1.0            # pitch up (reference arrow look)
+            elif tok == "down":
+                look[0] += 1.0
+            elif tok == "left":
+                look[1] -= 1.0
+            elif tok == "right":
+                look[1] += 1.0
+            elif tok.isdigit() and len(tok) == 1 and tok != "0":
+                move_speed = cam_mod.speed_for_digit(int(tok))
+            elif tok.startswith("sf") and tok[2:].isdigit():
+                k = int(tok[2:]) - 1
+                if 0 <= k < len(slots):
+                    slots[k] = cam.copy()
+            elif tok.startswith("f") and tok[1:].isdigit():
+                k = int(tok[1:]) - 1
+                if 0 <= k < len(slots):
+                    cam = slots[k].copy()
+            elif tok == "p":
+                engine.wireframe = not engine.wireframe
+            elif tok == "k":
+                engine.skirts = not engine.skirts
+            elif tok == "t":
+                timing.toggle_timing()
+            elif tok == "png":
+                dump = True
+            elif tok == "help":
+                print(INTERACTIVE_HELP, flush=True)
+            elif echo:
+                print(f"? unknown key {tok!r} (try: help)", flush=True)
+        cam_mod.update_camera(cam, move, look, move_speed, look_speed, dt)
+        out, image, _ = engine.render(cam, width, height)
+        s = out.stats
+        print(f"frametime: {s.frametime_ms:.1f} ms, fps: {s.fps:.1f}, "
+              f"tris: {s.tris}, quads: {s.quads}, "
+              f"tiles: {s.tiles_generated}, speed: {move_speed:g} m/s",
+              flush=True)
+        if dump:
+            png.write_png(
+                os.path.join(out_dir, f"interactive_{frame_no:04d}.png"),
+                np.asarray(image))
+        frame_no += 1
+    return cam
 
 
 def main(argv=None):
@@ -34,6 +122,12 @@ def main(argv=None):
     ap.add_argument("--save", default="save.npz")
     ap.add_argument("--slot", type=int, default=-1,
                     help="recall saved camera slot (F1-F12 analogue)")
+    ap.add_argument("--save-slot", type=int, default=-1,
+                    help="store the camera into this slot before exiting "
+                         "(shift+F1-F12 analogue, main.cpp:958-975)")
+    ap.add_argument("--interactive", action="store_true",
+                    help="line-oriented terminal control mode (see "
+                         "driver.INTERACTIVE_HELP)")
     ap.add_argument("--orbit", action="store_true",
                     help="orbit the planet instead of holding position")
     ap.add_argument("--altitude", type=float, default=None,
@@ -50,12 +144,16 @@ def main(argv=None):
                     help="write a jax.profiler trace of the run to DIR")
     ap.add_argument("--check-finite", action="store_true",
                     help="per-frame NaN/inf tile guard")
+    ap.add_argument("--no-pallas", action="store_true",
+                    help="XLA noise path instead of the Pallas kernels "
+                         "(CPU runs)")
     ap.add_argument("--no-save", action="store_true")
     args = ap.parse_args(argv)
 
     ss = args.supersample or max(4, round(args.width / 240))
     cfg = EngineConfig(window_w=args.width, window_h=args.height,
                        raster_supersample=ss,
+                       use_pallas=not args.no_pallas,
                        check_finite=args.check_finite)
     engine = PlanetEngine(cfg)
     engine.wireframe = args.wireframe
@@ -82,6 +180,18 @@ def main(argv=None):
         profiler = jax.profiler.trace(args.profile)
         profiler.__enter__()
 
+    if args.interactive:
+        print(INTERACTIVE_HELP, flush=True)
+        cam = run_interactive(engine, cam, slots, args.width, args.height,
+                              args.out)
+        if args.save_slot >= 0 and args.save_slot < len(slots):
+            slots[args.save_slot] = cam.copy()
+        if profiler is not None:
+            profiler.__exit__(None, None, None)
+        if not args.no_save:
+            checkpoint.save(args.save, cam, slots)
+        return
+
     for i in range(args.frames):
         if args.orbit:
             theta = 2.0 * np.pi * i / max(args.frames, 1) * 0.05
@@ -104,6 +214,8 @@ def main(argv=None):
     if profiler is not None:
         profiler.__exit__(None, None, None)
 
+    if args.save_slot >= 0 and args.save_slot < len(slots):
+        slots[args.save_slot] = cam.copy()
     if not args.no_save:
         checkpoint.save(args.save, cam, slots)
 
