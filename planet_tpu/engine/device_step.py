@@ -38,7 +38,7 @@ from planet_tpu.geom import cubesphere, quadid
 from planet_tpu.lod import refine_device
 from planet_tpu.nums import df as dfm
 from planet_tpu.ops.kernels import tile_pallas
-from planet_tpu.raster import coverage, shade as shade_mod, splat
+from planet_tpu.raster import coverage, coverage_pallas, shade as shade_mod, splat
 from planet_tpu.tess import mesh, vertex
 
 _F32 = jnp.float32
@@ -262,7 +262,7 @@ def build_device_render(cfg: EngineConfig, width: int, height: int, *,
                     ref.overflowed | overflow_render | (n_over > 0))
             return pool, (pv, vshade, valid, meta)
         if raster_out == "packed":
-            packed, _ = coverage.raster_frame(
+            packed, _ = coverage_pallas.raster_frame_auto(
                 pv.clip, pv.normal, valid, width, height,
                 cell_mask=mesh.cell_triangle_mask(), decode=False)
             pool = dp.end_frame(pool)
@@ -270,7 +270,7 @@ def build_device_render(cfg: EngineConfig, width: int, height: int, *,
             return pool, (packed, n, jnp.sum(gen_ok.astype(_I32)),
                           overflowed, q_lo, q_hi)
         if cfg.raster_mode == "exact":
-            image, depthbuf, _ = coverage.raster_frame(
+            image, depthbuf, _ = coverage_pallas.raster_frame_auto(
                 pv.clip, pv.normal, valid, width, height,
                 cell_mask=mesh.cell_triangle_mask())
         else:

@@ -122,10 +122,12 @@ def _raster_fn(width: int, height: int, supersample: int, wireframe: bool,
     winding cull = the reference's GL_CW front-face cull, main.cpp:811-816).
     mode="splat" (and any wireframe render): depth-tested vertex splats."""
     if mode == "exact" and not wireframe:
+        from planet_tpu.raster import coverage_pallas
+
         cmask = mesh.cell_triangle_mask()
 
         def fn(clip, vshade, normal, valid, world, snormal):
-            image, depthbuf, _ = coverage.raster_frame(
+            image, depthbuf, _ = coverage_pallas.raster_frame_auto(
                 clip, normal, valid, width, height, cell_mask=cmask)
             return image, depthbuf
 

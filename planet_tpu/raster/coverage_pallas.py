@@ -1,0 +1,244 @@
+"""Pallas fragment engine for the exact-coverage rasterizer (TPU).
+
+The XLA row-job formulation (raster/coverage.py) is scatter-bound on TPU:
+XLA lowers both the per-class job compactions and the framebuffer
+scatter-min to ~7-25 ns/element loops (measured 565 ms for the 1080p LOD
+frame, tools/bench_raster_parts.py). This module replaces the fragment
+path with a Pallas kernel that keeps the WHOLE framebuffer resident in
+VMEM (1920x1080 int32 = 8.3 MB of ~16 MB) and turns the depth test into
+dense vector min updates — no scatters anywhere:
+
+* Triangles are binned by bbox HEIGHT class (8/16/32/64 rows; width is
+  uniform) and compacted once; each class launches one kernel.
+* Each triangle evaluates coverage/depth/shade over an ALIGNED window:
+  rows [py0c, py0c + maxH), cols [px0a, px0a + 256) with px0a a multiple
+  of 128 — the 256-lane window always contains the <=128-px-wide bbox, and
+  lane alignment keeps the read-modify-write on the VMEM framebuffer on
+  native vector tiles.
+* The window min-merge IS the LEQUAL depth test: packed keys are the
+  shared (21-bit quantized depth, 10-bit shade) layout of coverage.py, so
+  results are interchangeable with (and tested against) the XLA path.
+
+Coverage decisions reuse coverage._setup's snapped screen coordinates and
+evaluate the identical f32 edge functions (Mosaic does not contract FMA,
+matching the scalar spec). Triangles taller than 64 rows or wider than
+128 px take coverage._huge_pass; triangles beyond a class cap set the
+overflow counter, never vanish silently.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from planet_tpu.raster import coverage as cov
+from planet_tpu.raster.splat import _DEPTH_BITS, _EMPTY, _SHADE_BITS
+
+_F32 = jnp.float32
+_I32 = jnp.int32
+
+WIN_W = 256                      # lane-aligned window width (>= 2 blocks)
+MAX_BW = 128                     # widest bbox the window can cover
+H_CLASSES = (8, 16, 32, 64)      # bbox-height ladder
+# per-class triangle caps: sized ~4x the measured 1080p LOD demand
+# (tools/bench_raster_parts.py); overflow is counted, never silent
+DEFAULT_CAPS = (16384, 16384, 8192, 4096)
+TRI_BLOCK = 8                    # triangles per grid step
+
+
+def _raster_class_kernel(maxh: int, width_pad: int, rec_ref, fb_in_ref,
+                         fb_ref):
+    """One grid step: TRI_BLOCK triangles' (maxh+8, WIN_W) window updates.
+
+    The framebuffer blocks use a constant index map, so both stay VMEM-
+    resident across the whole grid; the OUTPUT block starts undefined and
+    is seeded from the (HBM-aliased) input once, then accumulated."""
+    f = _F32
+
+    @pl.when(pl.program_id(0) == 0)
+    def _seed():
+        fb_ref[:, :] = fb_in_ref[:, :]
+
+    # skip fully-dead record blocks (oversized caps cost ~nothing)
+    any_live = jnp.max(rec_ref[:, 26]) > 0.5
+
+    def _block():
+        for t in range(TRI_BLOCK):
+            _one_triangle(maxh, width_pad, rec_ref, fb_ref, t)
+
+    pl.when(any_live)(_block)
+
+
+def _one_triangle(maxh: int, width_pad: int, rec_ref, fb_ref, t):
+    f = _F32
+    if True:
+        live = rec_ref[t, 26] > 0.5
+        x0, x1, x2 = rec_ref[t, 0], rec_ref[t, 1], rec_ref[t, 2]
+        y0, y1, y2 = rec_ref[t, 3], rec_ref[t, 4], rec_ref[t, 5]
+        z0, z1, z2 = rec_ref[t, 6], rec_ref[t, 7], rec_ref[t, 8]
+        w0, w1, w2 = rec_ref[t, 9], rec_ref[t, 10], rec_ref[t, 11]
+        inv_area = rec_ref[t, 21]
+        px0 = rec_ref[t, 22].astype(_I32)
+        py0 = rec_ref[t, 23].astype(_I32)
+        px1 = rec_ref[t, 24].astype(_I32)
+        py1 = rec_ref[t, 25].astype(_I32)
+
+        # aligned window origins: expressed as (clamped block index) * size
+        # so Mosaic can statically prove sublane/lane divisibility
+        winh = maxh + 8
+        hp = fb_ref.shape[0]
+        px0a = jnp.clip(px0 // 128, 0, (width_pad - WIN_W) // 128) * 128
+        py0c = jnp.clip(py0 // 8, 0, (hp - winh) // 8) * 8
+
+        ry = jax.lax.broadcasted_iota(_I32, (winh, WIN_W), 0) + py0c
+        rx = jax.lax.broadcasted_iota(_I32, (winh, WIN_W), 1) + px0a
+        pcx = rx.astype(f) + f(0.5)
+        pcy = ry.astype(f) + f(0.5)
+
+        fs = f(cov.FRONT_SIGN)
+
+        def edge(xa, ya, xb, yb):
+            e = ((xb - xa) * (pcy - ya) - (yb - ya) * (pcx - xa)) * fs
+            dx = (xb - xa) * fs
+            dy = (yb - ya) * fs
+            topleft = (dy < f(0.0)) | ((dy == f(0.0)) & (dx > f(0.0)))
+            return e, (e > f(0.0)) | ((e == f(0.0)) & topleft)
+
+        e0, a0 = edge(x1, y1, x2, y2)
+        e1, a1 = edge(x2, y2, x0, y0)
+        e2, a2 = edge(x0, y0, x1, y1)
+        inside = a0 & a1 & a2
+
+        l0 = e0 * inv_area
+        l1 = e1 * inv_area
+        l2 = e2 * inv_area
+        z = l0 * z0 + l1 * z1 + l2 * z2
+        iw = l0 * w0 + l1 * w1 + l2 * w2
+        iw_safe = jnp.where(iw > f(0.0), iw, f(1.0))
+        nx = (l0 * rec_ref[t, 12] + l1 * rec_ref[t, 15]
+              + l2 * rec_ref[t, 18]) / iw_safe
+        ny = (l0 * rec_ref[t, 13] + l1 * rec_ref[t, 16]
+              + l2 * rec_ref[t, 19]) / iw_safe
+        nz = (l0 * rec_ref[t, 14] + l1 * rec_ref[t, 17]
+              + l2 * rec_ref[t, 20]) / iw_safe
+        nlen = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+        ndl = (nx * f(cov._LIGHT[0]) + ny * f(cov._LIGHT[1])
+               + nz * f(cov._LIGHT[2])) / jnp.where(nlen > f(0.0), nlen,
+                                                    f(1.0))
+        shade = jnp.sqrt(f(0.001) + jnp.maximum(f(0.0), ndl))
+
+        in_box = ((rx >= px0) & (rx <= px1) & (ry >= py0) & (ry <= py1))
+        ok = live & inside & in_box & (z >= f(-1.0)) & (iw > f(0.0))
+
+        zq = jnp.clip((z * f(0.5) + f(0.5)) * f(2**_DEPTH_BITS - 1),
+                      0, 2**_DEPTH_BITS - 1).astype(_I32)
+        sq = jnp.clip(shade * f(2**_SHADE_BITS - 1),
+                      0, 2**_SHADE_BITS - 1).astype(_I32)
+        packed = jnp.where(ok, (zq << _SHADE_BITS) | sq, _EMPTY)
+
+        old = fb_ref[pl.ds(py0c, winh), pl.ds(px0a, WIN_W)]
+        fb_ref[pl.ds(py0c, winh), pl.ds(px0a, WIN_W)] = \
+            jnp.minimum(old, packed)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "maxh", "cap", "width_pad", "height_pad", "interpret"))
+def _run_class(records, fb, *, maxh, cap, width_pad, height_pad,
+               interpret=False):
+    """records (cap, 32) f32 -> fb' with all class triangles min-merged."""
+    kernel = functools.partial(_raster_class_kernel, maxh, width_pad)
+    return pl.pallas_call(
+        kernel,
+        grid=(cap // TRI_BLOCK,),
+        in_specs=[
+            pl.BlockSpec((TRI_BLOCK, 32), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((height_pad, width_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((height_pad, width_pad), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((height_pad, width_pad), jnp.int32),
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(records, fb)
+
+
+def raster_frame_auto(clip, normal, valid, width: int, height: int, *,
+                      cell_mask=None, background: float = 0.0,
+                      decode: bool = True):
+    """Backend dispatch for the exact-coverage raster: the Pallas fragment
+    engine on TPU, the XLA row-job path elsewhere (CPU tests/dryruns)."""
+    if jax.default_backend() == "tpu":
+        return raster_frame_pallas(clip, normal, valid, width, height,
+                                   cell_mask=cell_mask,
+                                   background=background, decode=decode)
+    return cov.raster_frame(clip, normal, valid, width, height,
+                            cell_mask=cell_mask, background=background,
+                            decode=decode)
+
+
+def raster_frame_pallas(clip, normal, valid, width: int, height: int, *,
+                        caps=DEFAULT_CAPS, tri_cap: int = 131072,
+                        huge_cap: int = 16, background: float = 0.0,
+                        cell_mask=None, interpret: bool = False,
+                        decode: bool = True):
+    """Drop-in twin of coverage.raster_frame running the fragment path as
+    Pallas window kernels. Returns (image, depth, RasterCounters), or
+    (packed, counters) when decode=False."""
+    t = cov._setup(clip, normal, valid, width, height, cell_mask)
+    bw = t.px1 - t.px0 + 1
+    bh = t.py1 - t.py0 + 1
+    eligible = t.live & (bh <= H_CLASSES[-1]) & (bw <= MAX_BW)
+
+    width_pad = -(-max(width, WIN_W) // 128) * 128
+    height_pad = -(-max(height, H_CLASSES[-1] + 8) // 8) * 8
+    fb = jnp.full((height_pad, width_pad), _EMPTY, jnp.int32)
+
+    tm = cov._pack_tris(t)
+    # one compaction over the full triangle space; class compactions then
+    # run over the much smaller (tri_cap,) slot space
+    tri_idx, n_elig = cov._compact_indices(eligible, tri_cap)
+    tt_m = jnp.pad(cov._gather_packed(tm, tri_idx), ((0, 1), (0, 0)))
+    bh_c = (tt_m[:-1, 25] - tt_m[:-1, 23] + 1.0)
+    live_c = tt_m[:-1, 26] > 0.5
+
+    n_per_class = []
+    overflowed = n_elig > tri_cap
+    prev_h = 0.0
+    for maxh, cap in zip(H_CLASSES, caps):
+        in_class = live_c & (bh_c <= maxh) & (bh_c > prev_h)
+        prev_h = float(maxh)
+        idxs, n_cls = cov._compact_indices(in_class, cap)
+        recs = cov._gather_packed(tt_m, idxs)
+        fb = _run_class(recs, fb, maxh=maxh, cap=cap, width_pad=width_pad,
+                        height_pad=height_pad, interpret=interpret)
+        n_per_class.append(n_cls)
+        overflowed = overflowed | (n_cls > cap)
+
+    buf = fb[:height, :width].reshape(-1)
+
+    # huge triangles: the rare full-screen scan, shared with the XLA path
+    need_huge = t.live & ~eligible
+    hg_idx, n_huge = cov._compact_indices(need_huge, huge_cap)
+    th = cov._unpack_tris(cov._gather_packed(tm, hg_idx))
+    overflowed = overflowed | (n_huge > huge_cap)
+    buf = jax.lax.cond(
+        n_huge > 0,
+        lambda b: cov._huge_pass(b, th, width, height),
+        lambda b: b, buf)
+
+    img_packed = buf.reshape(height, width)
+    counters = cov.RasterCounters(
+        n_tris=jnp.sum(t.live.astype(_I32)),
+        n_per_class=jnp.stack(n_per_class + [n_huge]),
+        n_huge=n_huge, overflowed=overflowed)
+    if not decode:
+        return img_packed, counters
+    image, depth = cov.decode_packed(img_packed, background)
+    return image, depth, counters

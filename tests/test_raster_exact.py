@@ -237,6 +237,52 @@ def test_huge_class_full_screen():
     assert np.asarray(img)[10, 10] > 0.9     # lit pixel, shade ~ sqrt(1.001)
 
 
+def test_pallas_fragment_engine_matches_xla():
+    """The Pallas window-kernel fragment path (raster/coverage_pallas.py,
+    interpret mode) must reproduce the XLA row-job path: identical
+    coverage (exact f32 edge decisions), packed values within 1 quantum
+    (interpolation op order differs)."""
+    from planet_tpu.raster import coverage_pallas
+
+    rng = np.random.default_rng(23)
+    width, height = 128, 96
+    tris = (rand_tris(rng, 80, width, height, span=1.5)
+            + rand_tris(rng, 30, width, height, span=8.0)
+            + rand_tris(rng, 8, width, height, span=30.0)
+            + rand_tris(rng, 3, width, height, span=200.0))  # huge class
+    q = len(tris)
+    clip = np.zeros((q, 2, 2, 4), F)
+    normal = np.zeros((q, 2, 2, 3), F)
+    valid = np.ones((q, 2, 2), bool)
+    for i, t in enumerate(tris):
+        slots = {(0, 0): t[0], (1, 0): t[1], (0, 1): t[2], (1, 1): t[1]}
+        for (r, c), v in slots.items():
+            w = 1.0 / v["iw"]
+            ndc_x = (v["x"] / width - 0.5) * 2.0
+            ndc_y = (0.5 - v["y"] / height) * 2.0
+            clip[i, r, c] = [ndc_x * w, ndc_y * w, v["z"] * w, w]
+            normal[i, r, c] = v["n"]
+    args = (jnp.asarray(clip), jnp.asarray(normal), jnp.asarray(valid))
+
+    x_img, x_dep, x_cnt = coverage.raster_frame(*args, width, height)
+    p_img, p_dep, p_cnt = coverage_pallas.raster_frame_pallas(
+        *args, width, height, interpret=True)
+
+    assert int(x_cnt.n_tris) == int(p_cnt.n_tris)
+    assert int(x_cnt.n_huge) == int(p_cnt.n_huge)
+    assert not bool(p_cnt.overflowed)
+
+    x_pack = packed_from_images(np.asarray(x_img), np.asarray(x_dep))
+    p_pack = packed_from_images(np.asarray(p_img), np.asarray(p_dep))
+    cov_eq = (x_pack == _EMPTY) == (p_pack == _EMPTY)
+    assert cov_eq.mean() > 0.999, cov_eq.mean()
+    live = (x_pack != _EMPTY) & (p_pack != _EMPTY)
+    dz = np.abs((x_pack[live] >> _SHADE_BITS) - (p_pack[live] >> _SHADE_BITS))
+    ds = np.abs((x_pack[live] & 1023) - (p_pack[live] & 1023))
+    assert dz.max(initial=0) <= 1
+    assert ds.max(initial=0) <= 1
+
+
 def test_near_camera_frame_has_no_holes():
     """VERDICT weak item: splat rasters could leave holes when LOD lets
     cells exceed a pixel. The exact-coverage raster partitions shared edges
