@@ -238,12 +238,16 @@ def _fragments(t: _Tris, live, px, py, width: int, height: int):
 
 def _compact_indices(mask, cap: int):
     """Indices of the first `cap` set lanes, padded with N (a dump row).
-    Returns (idxs (cap,), count ())."""
+    Returns (idxs (cap,), count ()).
+
+    Sort-based: masked-out lanes key to N, so ascending sort yields the
+    set positions in original order followed by pad. On TPU one sort of
+    984k i32 measures 1.7 ms where the cumsum+scatter formulation costs
+    8.6 ms (XLA scatters lower to ~7 ns/element loops)."""
     n = mask.shape[0]
-    pos = jnp.cumsum(mask.astype(_I32)) - 1
-    tgt = jnp.where(mask & (pos < cap), pos, cap)
-    idxs = jnp.full((cap + 1,), n, _I32).at[tgt].set(jnp.arange(n, dtype=_I32))
-    return idxs[:cap], jnp.sum(mask.astype(_I32))
+    keys = jnp.where(mask, jnp.arange(n, dtype=_I32), jnp.int32(n))
+    idxs = jax.lax.sort(keys)[:cap]
+    return idxs, jnp.sum(mask.astype(_I32))
 
 
 # Packed triangle-record layout: one (N + 1, 32) f32 matrix so every

@@ -44,11 +44,15 @@ _I32 = jnp.int32
 
 WIN_W = 256                      # lane-aligned window width (>= 2 blocks)
 MAX_BW = 128                     # widest bbox the window can cover
-H_CLASSES = (8, 16, 32, 64)      # bbox-height ladder
-# per-class triangle caps: sized ~4x the measured 1080p LOD demand
-# (tools/bench_raster_parts.py); overflow is counted, never silent
-DEFAULT_CAPS = (16384, 16384, 8192, 4096)
-TRI_BLOCK = 8                    # triangles per grid step
+H_CLASSES = (8, 16, 32, 64, 128)  # bbox-height ladder
+# per-class triangle caps: ~2x the measured 1080p LOD demand
+# (28826/13856/5237/443/12 at 20 km altitude); fully-dead record blocks
+# are skipped in-kernel, so oversizing costs ~nothing at runtime; overflow
+# is counted, never silent. The 128-row class exists so near-silhouette
+# tall triangles stay off the XLA full-screen scan (measured ~20 ms per
+# frame whenever a single such triangle is live).
+DEFAULT_CAPS = (49152, 24576, 8192, 2048, 512)
+TRI_BLOCK = 16                   # triangles per grid step
 
 
 def _raster_class_kernel(maxh: int, width_pad: int, rec_ref, fb_in_ref,
@@ -64,8 +68,11 @@ def _raster_class_kernel(maxh: int, width_pad: int, rec_ref, fb_in_ref,
     def _seed():
         fb_ref[:, :] = fb_in_ref[:, :]
 
-    # skip fully-dead record blocks (oversized caps cost ~nothing)
-    any_live = jnp.max(rec_ref[:, 26]) > 0.5
+    # skip fully-dead record blocks (oversized caps cost ~nothing);
+    # scalar reads so the records block can live in SMEM
+    any_live = rec_ref[0, 26] > 0.5
+    for t in range(1, TRI_BLOCK):
+        any_live = any_live | (rec_ref[t, 26] > 0.5)
 
     def _block():
         for t in range(TRI_BLOCK):
@@ -146,6 +153,10 @@ def _one_triangle(maxh: int, width_pad: int, rec_ref, fb_ref, t):
             jnp.minimum(old, packed)
 
 
+REC_SPACE = pltpu.SMEM       # triangle records: scalar reads come from SMEM
+                             # (VMEM scalar extracts measurably dominate)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "maxh", "cap", "width_pad", "height_pad", "interpret"))
 def _run_class(records, fb, *, maxh, cap, width_pad, height_pad,
@@ -157,7 +168,7 @@ def _run_class(records, fb, *, maxh, cap, width_pad, height_pad,
         grid=(cap // TRI_BLOCK,),
         in_specs=[
             pl.BlockSpec((TRI_BLOCK, 32), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=REC_SPACE),
             pl.BlockSpec((height_pad, width_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -184,7 +195,7 @@ def raster_frame_auto(clip, normal, valid, width: int, height: int, *,
 
 
 def raster_frame_pallas(clip, normal, valid, width: int, height: int, *,
-                        caps=DEFAULT_CAPS, tri_cap: int = 131072,
+                        caps=DEFAULT_CAPS,
                         huge_cap: int = 16, background: float = 0.0,
                         cell_mask=None, interpret: bool = False,
                         decode: bool = True):
@@ -201,31 +212,52 @@ def raster_frame_pallas(clip, normal, valid, width: int, height: int, *,
     fb = jnp.full((height_pad, width_pad), _EMPTY, jnp.int32)
 
     tm = cov._pack_tris(t)
-    # one compaction over the full triangle space; class compactions then
-    # run over the much smaller (tri_cap,) slot space
-    tri_idx, n_elig = cov._compact_indices(eligible, tri_cap)
-    tt_m = jnp.pad(cov._gather_packed(tm, tri_idx), ((0, 1), (0, 0)))
-    bh_c = (tt_m[:-1, 25] - tt_m[:-1, 23] + 1.0)
-    live_c = tt_m[:-1, 26] > 0.5
+    # ONE keyed sort compacts every class at once: key = class*(n+1)+pos,
+    # ascending sort groups classes contiguously in original order; each
+    # class then slices its segment at the running-count offset and
+    # masks strays (class id check) to the pad row. This replaces six
+    # separate sort-compactions and an intermediate 131k-row gather
+    # (~10 ms of the frame on TPU).
+    n = t.live.shape[0]
+    stride = jnp.int32(n + 1)
+    pos = jnp.arange(n, dtype=_I32)
+    class_id = jnp.full((n,), len(H_CLASSES) + 1, _I32)     # dead last
+    need_huge = t.live & ~eligible
+    class_id = jnp.where(need_huge, len(H_CLASSES), class_id)
+    for c in reversed(range(len(H_CLASSES))):
+        class_id = jnp.where(eligible & (bh <= H_CLASSES[c]),
+                             jnp.int32(c), class_id)
+    sorted_keys = jax.lax.sort(class_id * stride + pos)
+    # pad with dead keys so fixed-size class slices exist even when the
+    # scene has fewer triangles than a class cap
+    pad_len = max(max(caps), huge_cap)
+    sorted_keys = jnp.pad(sorted_keys, (0, pad_len),
+                          constant_values=(len(H_CLASSES) + 1) * (n + 1))
+
+    counts = [jnp.sum((class_id == c).astype(_I32))
+              for c in range(len(H_CLASSES) + 1)]
+
+    def _segment(c, off, cap):
+        seg = jax.lax.dynamic_slice(sorted_keys, (off,), (cap,))
+        return jnp.where(seg // stride == c, seg % stride, jnp.int32(n))
 
     n_per_class = []
-    overflowed = n_elig > tri_cap
-    prev_h = 0.0
-    for maxh, cap in zip(H_CLASSES, caps):
-        in_class = live_c & (bh_c <= maxh) & (bh_c > prev_h)
-        prev_h = float(maxh)
-        idxs, n_cls = cov._compact_indices(in_class, cap)
-        recs = cov._gather_packed(tt_m, idxs)
+    overflowed = jnp.bool_(False)
+    off = jnp.int32(0)
+    for c, (maxh, cap) in enumerate(zip(H_CLASSES, caps)):
+        idxs = _segment(c, off, cap)
+        off = off + counts[c]
+        recs = cov._gather_packed(tm, idxs)
         fb = _run_class(recs, fb, maxh=maxh, cap=cap, width_pad=width_pad,
                         height_pad=height_pad, interpret=interpret)
-        n_per_class.append(n_cls)
-        overflowed = overflowed | (n_cls > cap)
+        n_per_class.append(counts[c])
+        overflowed = overflowed | (counts[c] > cap)
 
     buf = fb[:height, :width].reshape(-1)
 
     # huge triangles: the rare full-screen scan, shared with the XLA path
-    need_huge = t.live & ~eligible
-    hg_idx, n_huge = cov._compact_indices(need_huge, huge_cap)
+    hg_idx = _segment(len(H_CLASSES), off, huge_cap)
+    n_huge = counts[len(H_CLASSES)]
     th = cov._unpack_tris(cov._gather_packed(tm, hg_idx))
     overflowed = overflowed | (n_huge > huge_cap)
     buf = jax.lax.cond(

@@ -269,7 +269,9 @@ def test_pallas_fragment_engine_matches_xla():
         *args, width, height, interpret=True)
 
     assert int(x_cnt.n_tris) == int(p_cnt.n_tris)
-    assert int(x_cnt.n_huge) == int(p_cnt.n_huge)
+    # the pallas ladder reaches to 128-row bboxes, so it classifies fewer
+    # triangles as huge than the XLA path (MAX_BH=64)
+    assert int(p_cnt.n_huge) <= int(x_cnt.n_huge)
     assert not bool(p_cnt.overflowed)
 
     x_pack = packed_from_images(np.asarray(x_img), np.asarray(x_dep))
