@@ -236,7 +236,10 @@ def refine_device(cam_hi, cam_lo, root_lo, root_hi, root_ch, root_cl,
         overflow = overflow | (new_l_n > cap)
         l_n = jnp.minimum(new_l_n, cap).astype(_I32)
 
-        # --- expand splits
+        # --- expand splits (gather formulation: XLA lowers scatters to
+        # ~7 ns/element loops on TPU, so the old 20-scatters-per-level
+        # expansion dominated refinement; one small sort + row gathers
+        # produce the identical child ordering)
         kids_h, kids_l = _subdivide(f_ch, f_cl, radius)      # (cap,4,4,3)
         child_lo = jnp.stack(
             [quadid.words_make_child(f_lo, f_hi, jnp.int32(c))[0]
@@ -245,28 +248,28 @@ def refine_device(cam_hi, cam_lo, root_lo, root_hi, root_ch, root_cl,
             [quadid.words_make_child(f_lo, f_hi, jnp.int32(c))[1]
              for c in range(4)], axis=1)
 
-        split_pos = jnp.cumsum(split.astype(_I32)) - 1
         n_split = jnp.sum(split.astype(_I32))
-        base = split_pos * 4                                  # (cap,)
-        ok_split = split & (base + 3 < cap)
         overflow = overflow | ((n_split * 4) > cap)
+        keys = jnp.where(split, jnp.arange(cap, dtype=_I32), jnp.int32(cap))
+        spad = jax.lax.sort(keys)[:cap // 4]   # split ranks -> slot index
+        j = jnp.arange(cap)
+        pr = j // 4
+        cidx = j % 4
+        ok_child = pr < jnp.minimum(n_split, cap // 4)
+        psel = jnp.where(ok_child, spad[pr], jnp.int32(cap))
 
-        nf_lo = jnp.zeros((cap + 1,), _I32)
-        nf_hi = jnp.zeros((cap + 1,), _I32)
-        nf_ch = jnp.zeros((cap + 1, 4, 3), _F32)
-        nf_cl = jnp.zeros((cap + 1, 4, 3), _F32)
-        nf_depth = jnp.zeros((cap + 1,), _I32)
-        for c in range(4):
-            t = jnp.where(ok_split, base + c, cap)
-            nf_lo = nf_lo.at[t].set(child_lo[:, c])
-            nf_hi = nf_hi.at[t].set(child_hi[:, c])
-            nf_ch = nf_ch.at[t].set(kids_h[:, c])
-            nf_cl = nf_cl.at[t].set(kids_l[:, c])
-            nf_depth = nf_depth.at[t].set(f_depth + 1)
+        def gpad(a):
+            return jnp.pad(a, ((0, 1),) + ((0, 0),) * (a.ndim - 1))
+
+        nf_lo = gpad(child_lo)[psel, cidx]
+        nf_hi = gpad(child_hi)[psel, cidx]
+        nf_ch = gpad(kids_h)[psel, cidx]
+        nf_cl = gpad(kids_l)[psel, cidx]
+        nf_depth = jnp.where(ok_child, gpad(f_depth)[psel] + 1, 0)
         f_n = jnp.minimum(n_split * 4, cap).astype(_I32)
 
-        return (nf_lo[:cap], nf_hi[:cap], nf_ch[:cap], nf_cl[:cap],
-                nf_depth[:cap], f_n,
+        return (nf_lo, nf_hi, nf_ch, nf_cl,
+                nf_depth, f_n,
                 l_lo, l_hi, l_ch, l_cl, l_depth, l_n, overflow, level + 1)
 
     def cond(state):
