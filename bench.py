@@ -26,9 +26,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
 import glob
 import json
+import os
 import sys
 import tempfile
 import time
+
+# persistent compilation cache: the Pallas raster kernels take minutes to
+# compile through the AOT tunnel; cache them across bench runs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 
 import numpy as np
 
