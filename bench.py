@@ -78,6 +78,25 @@ def _queue_time(fn, args, iters, warmup=2):
     return (time.perf_counter() - t0) / iters
 
 
+def _slope_time(step, n_small=4, n_big=16):
+    """True per-program device time through the tunnel.
+
+    step(i) must return a small device array whose host fetch proves the
+    program ran (block_until_ready alone can return early through the
+    tunnel; fetching big outputs pollutes the wall with ~33 ms/8 MB of
+    transfer). Programs on one device execute in submission order, so
+    fetching only the LAST output syncs the whole queue; timing two queue
+    depths and taking the slope cancels the fixed ~30 ms round trip."""
+    np.asarray(step(0))                       # warm / compile
+    walls = []
+    for n in (n_small, n_big):
+        t0 = time.perf_counter()
+        outs = [step(i) for i in range(n)]
+        np.asarray(outs[-1])
+        walls.append(time.perf_counter() - t0)
+    return max((walls[1] - walls[0]) / (n_big - n_small), 1e-9)
+
+
 def bench_texels(cfg):
     """Headline: ridged-6 tile-generation texel throughput."""
     import jax
@@ -150,12 +169,15 @@ def bench_frame_2048(cfg):
         h_pad = jnp.concatenate(
             [h_rows[:, :, :1], h_rows, h_rows[:, :, -1:]], axis=2)
         normal = heightfield.normals_from_heights(h_pad, xyscale)
-        return h, shade_mod.lambert(normal)
+        sh = shade_mod.lambert(normal)
+        # scalar checksum: proves full execution with a 4-byte fetch
+        return jnp.sum(h, dtype=jnp.float32) + jnp.sum(sh,
+                                                       dtype=jnp.float32)
 
     fn = jax.jit(frame)
-    times = []
-    for _ in range(3):
-        times.append(_queue_time(fn, (jnp.float32(0),), 8 if on_tpu else 1))
+    if not on_tpu:
+        return _queue_time(fn, (jnp.float32(0),), 1) * 1e3
+    times = [_slope_time(lambda i: fn(jnp.float32(i))) for _ in range(3)]
     return float(np.median(times) * 1e3)
 
 
@@ -179,12 +201,24 @@ def bench_tess(cfg):
     skirt = np.full(q, 100.0, np.float32)
     vp = np.eye(4, dtype=np.float32)
 
-    fn = jax.jit(lambda *a: vertex.tessellate_blend(*a))
     args = tuple(jnp.asarray(a) for a in
                  (corners_rel, normals, tiles, vx, vy, skirt, vp))
     on_tpu = jax.default_backend() == "tpu"
-    dt = _queue_time(fn, args, ITERS if on_tpu else 2)
-    return q / dt
+    reps = 32 if on_tpu else 1       # batches per program: the vertex
+                                     # program is ~sub-ms, below slope
+                                     # resolution one launch at a time
+
+    def many(t, *a):
+        def body(i, acc):
+            pv = vertex.tessellate_blend(a[0] + i * jnp.float32(0.0), *a[1:])
+            return acc + jnp.sum(pv.clip, dtype=jnp.float32)
+        return jax.lax.fori_loop(0, reps, body, t)
+
+    fn = jax.jit(many)
+    if not on_tpu:
+        return q * reps / _queue_time(fn, (jnp.float32(0),) + args, 2)
+    dt = _slope_time(lambda i: fn(jnp.float32(i), *args), 4, 16)
+    return q * reps / dt
 
 
 def bench_lod_frame(cfg):
@@ -214,17 +248,29 @@ def bench_lod_frame(cfg):
     ch, cl = dfm.from_f64_np(cam_pos)
     ch, cl = jnp.asarray(ch), jnp.asarray(cl)
 
+    checksum = jax.jit(lambda img: jnp.sum(img, dtype=jnp.float32))
+
     # warm up + fill the tile cache (steady state: no generation churn)
     for _ in range(3):
         pool, frame = r.render(pool, ch, cl, vp)
-    jax.block_until_ready(frame.image)
+    np.asarray(checksum(frame.image))
 
-    iters = 8 if on_tpu else 1
-    t0 = time.perf_counter()
-    for _ in range(iters):
+    if not on_tpu:
+        t0 = time.perf_counter()
         pool, frame = r.render(pool, ch, cl, vp)
-    jax.block_until_ready(frame.image)
-    return (time.perf_counter() - t0) / iters * 1e3
+        np.asarray(checksum(frame.image))
+        return (time.perf_counter() - t0) * 1e3
+
+    # slope timing: frames chain through the pool, so syncing the last
+    # frame's checksum proves the whole queue ran
+    walls = []
+    for n in (4, 16):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            pool, frame = r.render(pool, ch, cl, vp)
+        np.asarray(checksum(frame.image))
+        walls.append(time.perf_counter() - t0)
+    return (walls[1] - walls[0]) / 12 * 1e3
 
 
 def main():
