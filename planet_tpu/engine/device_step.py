@@ -262,17 +262,19 @@ def build_device_render(cfg: EngineConfig, width: int, height: int, *,
                     ref.overflowed | overflow_render | (n_over > 0))
             return pool, (pv, vshade, valid, meta)
         if raster_out == "packed":
-            packed, _ = coverage_pallas.raster_frame_auto(
+            packed, rc = coverage_pallas.raster_frame_auto(
                 pv.clip, pv.normal, valid, width, height,
                 cell_mask=mesh.cell_triangle_mask(), decode=False)
             pool = dp.end_frame(pool)
-            overflowed = ref.overflowed | overflow_render | (n_over > 0)
+            overflowed = (ref.overflowed | overflow_render | (n_over > 0)
+                          | rc.overflowed)
             return pool, (packed, n, jnp.sum(gen_ok.astype(_I32)),
                           overflowed, q_lo, q_hi)
         if cfg.raster_mode == "exact":
-            image, depthbuf, _ = coverage_pallas.raster_frame_auto(
+            image, depthbuf, rc = coverage_pallas.raster_frame_auto(
                 pv.clip, pv.normal, valid, width, height,
                 cell_mask=mesh.cell_triangle_mask())
+            overflow_render = overflow_render | rc.overflowed
         else:
             facing = jnp.sum(pv.world * pv.snormal, axis=-1) < 0.0
             c, s, v = splat.upsample_cells(pv.clip, vshade, valid & facing,
