@@ -128,11 +128,13 @@ def refine_device(cam_hi, cam_lo, root_lo, root_hi, root_ch, root_cl,
         f_depth = pad(jnp.asarray(root_depth, _I32), (cap,), _I32)
     f_n = jnp.int32(n0)
 
-    l_lo = jnp.zeros((cap,), _I32)
-    l_hi = jnp.zeros((cap,), _I32)
-    l_ch = jnp.zeros((cap, 4, 3), _F32)
-    l_cl = jnp.zeros((cap, 4, 3), _F32)
-    l_depth = jnp.zeros((cap,), _I32)
+    # leaf buffers carry 2*cap rows so the append window (dynamic slice of
+    # cap rows at offset l_n <= cap) stays in bounds; trimmed on return
+    l_lo = jnp.zeros((2 * cap,), _I32)
+    l_hi = jnp.zeros((2 * cap,), _I32)
+    l_ch = jnp.zeros((2 * cap, 4, 3), _F32)
+    l_cl = jnp.zeros((2 * cap, 4, 3), _F32)
+    l_depth = jnp.zeros((2 * cap,), _I32)
     l_n = jnp.int32(0)
     overflow = jnp.bool_(False)
 
@@ -217,22 +219,32 @@ def refine_device(cam_hi, cam_lo, root_lo, root_hi, root_ch, root_cl,
         split = active & (lodv > 0) & closer.any(axis=1)
         leaf = active & ~split
 
-        # --- compact leaves into leaf buffer (dump row `cap` for non-leaves)
-        leaf_pos = jnp.cumsum(leaf.astype(_I32)) - 1 + l_n
-        ok_leaf = leaf & (leaf_pos < cap)
-        tgt = jnp.where(ok_leaf, leaf_pos, cap)
+        # --- append compacted leaves at offset l_n (scatter-free: sort the
+        # leaf mask for source positions, gather rows, then merge a
+        # cap-sized window with dynamic slice/update — XLA scatters cost
+        # ~7 ns/element on TPU; the leaf buffers are 2*cap rows so the
+        # window never runs off the end)
+        n_leaf = jnp.sum(leaf.astype(_I32))
+        lkeys = jnp.where(leaf, jnp.arange(cap, dtype=_I32), jnp.int32(cap))
+        src = jax.lax.sort(lkeys)                      # (cap,) pad = cap
+        fresh = jnp.arange(cap) < n_leaf
 
-        def scat(buf, val):
-            pad_shape = (cap + 1,) + buf.shape[1:]
-            tmp = jnp.zeros(pad_shape, buf.dtype).at[:cap].set(buf)
-            return tmp.at[tgt].set(val)[:cap]
+        def append(buf, val):
+            gathered = jnp.pad(
+                val, ((0, 1),) + ((0, 0),) * (val.ndim - 1))[src]
+            start = (l_n,) + (jnp.int32(0),) * (buf.ndim - 1)
+            old = jax.lax.dynamic_slice(
+                buf, start, (cap,) + buf.shape[1:])
+            mask = fresh.reshape((cap,) + (1,) * (val.ndim - 1))
+            return jax.lax.dynamic_update_slice(
+                buf, jnp.where(mask, gathered, old), start)
 
-        l_lo = scat(l_lo, f_lo)
-        l_hi = scat(l_hi, f_hi)
-        l_ch = scat(l_ch, f_ch)
-        l_cl = scat(l_cl, f_cl)
-        l_depth = scat(l_depth, f_depth)
-        new_l_n = (l_n + jnp.sum(leaf.astype(_I32))).astype(_I32)
+        l_lo = append(l_lo, f_lo)
+        l_hi = append(l_hi, f_hi)
+        l_ch = append(l_ch, f_ch)
+        l_cl = append(l_cl, f_cl)
+        l_depth = append(l_depth, f_depth)
+        new_l_n = (l_n + n_leaf).astype(_I32)
         overflow = overflow | (new_l_n > cap)
         l_n = jnp.minimum(new_l_n, cap).astype(_I32)
 
@@ -281,4 +293,5 @@ def refine_device(cam_hi, cam_lo, root_lo, root_hi, root_ch, root_cl,
     state = jax.lax.while_loop(cond, body, state)
     (_, _, _, _, _, _,
      l_lo, l_hi, l_ch, l_cl, l_depth, l_n, overflow, _) = state
-    return DeviceRefineResult(l_lo, l_hi, l_ch, l_cl, l_depth, l_n, overflow)
+    return DeviceRefineResult(l_lo[:cap], l_hi[:cap], l_ch[:cap],
+                              l_cl[:cap], l_depth[:cap], l_n, overflow)
