@@ -83,74 +83,73 @@ def _raster_class_kernel(maxh: int, width_pad: int, rec_ref, fb_in_ref,
 
 def _one_triangle(maxh: int, width_pad: int, rec_ref, fb_ref, t):
     f = _F32
-    if True:
-        live = rec_ref[t, 26] > 0.5
-        x0, x1, x2 = rec_ref[t, 0], rec_ref[t, 1], rec_ref[t, 2]
-        y0, y1, y2 = rec_ref[t, 3], rec_ref[t, 4], rec_ref[t, 5]
-        z0, z1, z2 = rec_ref[t, 6], rec_ref[t, 7], rec_ref[t, 8]
-        w0, w1, w2 = rec_ref[t, 9], rec_ref[t, 10], rec_ref[t, 11]
-        inv_area = rec_ref[t, 21]
-        px0 = rec_ref[t, 22].astype(_I32)
-        py0 = rec_ref[t, 23].astype(_I32)
-        px1 = rec_ref[t, 24].astype(_I32)
-        py1 = rec_ref[t, 25].astype(_I32)
+    live = rec_ref[t, 26] > 0.5
+    x0, x1, x2 = rec_ref[t, 0], rec_ref[t, 1], rec_ref[t, 2]
+    y0, y1, y2 = rec_ref[t, 3], rec_ref[t, 4], rec_ref[t, 5]
+    z0, z1, z2 = rec_ref[t, 6], rec_ref[t, 7], rec_ref[t, 8]
+    w0, w1, w2 = rec_ref[t, 9], rec_ref[t, 10], rec_ref[t, 11]
+    inv_area = rec_ref[t, 21]
+    px0 = rec_ref[t, 22].astype(_I32)
+    py0 = rec_ref[t, 23].astype(_I32)
+    px1 = rec_ref[t, 24].astype(_I32)
+    py1 = rec_ref[t, 25].astype(_I32)
 
-        # aligned window origins: expressed as (clamped block index) * size
-        # so Mosaic can statically prove sublane/lane divisibility
-        winh = maxh + 8
-        hp = fb_ref.shape[0]
-        px0a = jnp.clip(px0 // 128, 0, (width_pad - WIN_W) // 128) * 128
-        py0c = jnp.clip(py0 // 8, 0, (hp - winh) // 8) * 8
+    # aligned window origins: expressed as (clamped block index) * size
+    # so Mosaic can statically prove sublane/lane divisibility
+    winh = maxh + 8
+    hp = fb_ref.shape[0]
+    px0a = jnp.clip(px0 // 128, 0, (width_pad - WIN_W) // 128) * 128
+    py0c = jnp.clip(py0 // 8, 0, (hp - winh) // 8) * 8
 
-        ry = jax.lax.broadcasted_iota(_I32, (winh, WIN_W), 0) + py0c
-        rx = jax.lax.broadcasted_iota(_I32, (winh, WIN_W), 1) + px0a
-        pcx = rx.astype(f) + f(0.5)
-        pcy = ry.astype(f) + f(0.5)
+    ry = jax.lax.broadcasted_iota(_I32, (winh, WIN_W), 0) + py0c
+    rx = jax.lax.broadcasted_iota(_I32, (winh, WIN_W), 1) + px0a
+    pcx = rx.astype(f) + f(0.5)
+    pcy = ry.astype(f) + f(0.5)
 
-        fs = f(cov.FRONT_SIGN)
+    fs = f(cov.FRONT_SIGN)
 
-        def edge(xa, ya, xb, yb):
-            e = ((xb - xa) * (pcy - ya) - (yb - ya) * (pcx - xa)) * fs
-            dx = (xb - xa) * fs
-            dy = (yb - ya) * fs
-            topleft = (dy < f(0.0)) | ((dy == f(0.0)) & (dx > f(0.0)))
-            return e, (e > f(0.0)) | ((e == f(0.0)) & topleft)
+    def edge(xa, ya, xb, yb):
+        e = ((xb - xa) * (pcy - ya) - (yb - ya) * (pcx - xa)) * fs
+        dx = (xb - xa) * fs
+        dy = (yb - ya) * fs
+        topleft = (dy < f(0.0)) | ((dy == f(0.0)) & (dx > f(0.0)))
+        return e, (e > f(0.0)) | ((e == f(0.0)) & topleft)
 
-        e0, a0 = edge(x1, y1, x2, y2)
-        e1, a1 = edge(x2, y2, x0, y0)
-        e2, a2 = edge(x0, y0, x1, y1)
-        inside = a0 & a1 & a2
+    e0, a0 = edge(x1, y1, x2, y2)
+    e1, a1 = edge(x2, y2, x0, y0)
+    e2, a2 = edge(x0, y0, x1, y1)
+    inside = a0 & a1 & a2
 
-        l0 = e0 * inv_area
-        l1 = e1 * inv_area
-        l2 = e2 * inv_area
-        z = l0 * z0 + l1 * z1 + l2 * z2
-        iw = l0 * w0 + l1 * w1 + l2 * w2
-        iw_safe = jnp.where(iw > f(0.0), iw, f(1.0))
-        nx = (l0 * rec_ref[t, 12] + l1 * rec_ref[t, 15]
-              + l2 * rec_ref[t, 18]) / iw_safe
-        ny = (l0 * rec_ref[t, 13] + l1 * rec_ref[t, 16]
-              + l2 * rec_ref[t, 19]) / iw_safe
-        nz = (l0 * rec_ref[t, 14] + l1 * rec_ref[t, 17]
-              + l2 * rec_ref[t, 20]) / iw_safe
-        nlen = jnp.sqrt(nx * nx + ny * ny + nz * nz)
-        ndl = (nx * f(cov._LIGHT[0]) + ny * f(cov._LIGHT[1])
-               + nz * f(cov._LIGHT[2])) / jnp.where(nlen > f(0.0), nlen,
-                                                    f(1.0))
-        shade = jnp.sqrt(f(0.001) + jnp.maximum(f(0.0), ndl))
+    l0 = e0 * inv_area
+    l1 = e1 * inv_area
+    l2 = e2 * inv_area
+    z = l0 * z0 + l1 * z1 + l2 * z2
+    iw = l0 * w0 + l1 * w1 + l2 * w2
+    iw_safe = jnp.where(iw > f(0.0), iw, f(1.0))
+    nx = (l0 * rec_ref[t, 12] + l1 * rec_ref[t, 15]
+          + l2 * rec_ref[t, 18]) / iw_safe
+    ny = (l0 * rec_ref[t, 13] + l1 * rec_ref[t, 16]
+          + l2 * rec_ref[t, 19]) / iw_safe
+    nz = (l0 * rec_ref[t, 14] + l1 * rec_ref[t, 17]
+          + l2 * rec_ref[t, 20]) / iw_safe
+    nlen = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    ndl = (nx * f(cov._LIGHT[0]) + ny * f(cov._LIGHT[1])
+           + nz * f(cov._LIGHT[2])) / jnp.where(nlen > f(0.0), nlen,
+                                                f(1.0))
+    shade = jnp.sqrt(f(0.001) + jnp.maximum(f(0.0), ndl))
 
-        in_box = ((rx >= px0) & (rx <= px1) & (ry >= py0) & (ry <= py1))
-        ok = live & inside & in_box & (z >= f(-1.0)) & (iw > f(0.0))
+    in_box = ((rx >= px0) & (rx <= px1) & (ry >= py0) & (ry <= py1))
+    ok = live & inside & in_box & (z >= f(-1.0)) & (iw > f(0.0))
 
-        zq = jnp.clip((z * f(0.5) + f(0.5)) * f(2**_DEPTH_BITS - 1),
-                      0, 2**_DEPTH_BITS - 1).astype(_I32)
-        sq = jnp.clip(shade * f(2**_SHADE_BITS - 1),
-                      0, 2**_SHADE_BITS - 1).astype(_I32)
-        packed = jnp.where(ok, (zq << _SHADE_BITS) | sq, _EMPTY)
+    zq = jnp.clip((z * f(0.5) + f(0.5)) * f(2**_DEPTH_BITS - 1),
+                  0, 2**_DEPTH_BITS - 1).astype(_I32)
+    sq = jnp.clip(shade * f(2**_SHADE_BITS - 1),
+                  0, 2**_SHADE_BITS - 1).astype(_I32)
+    packed = jnp.where(ok, (zq << _SHADE_BITS) | sq, _EMPTY)
 
-        old = fb_ref[pl.ds(py0c, winh), pl.ds(px0a, WIN_W)]
-        fb_ref[pl.ds(py0c, winh), pl.ds(px0a, WIN_W)] = \
-            jnp.minimum(old, packed)
+    old = fb_ref[pl.ds(py0c, winh), pl.ds(px0a, WIN_W)]
+    fb_ref[pl.ds(py0c, winh), pl.ds(px0a, WIN_W)] = \
+        jnp.minimum(old, packed)
 
 
 REC_SPACE = pltpu.SMEM       # triangle records: scalar reads come from SMEM
