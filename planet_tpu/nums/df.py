@@ -212,9 +212,9 @@ def to_f32(a: DF) -> jnp.ndarray:
     return a.hi
 
 
-def floor_split_ref(a: DF):
-    """Split DF coordinate into (int32 cell, float32 frac) with the reference's
-    FLOOR semantics (reference perlin.h:52-56):
+def floor_split_parts(a: DF):
+    """Split DF coordinate into (int32 cell, fraction as a normalized DF
+    pair) with the reference's FLOOR semantics (reference perlin.h:52-56):
 
         FLOOR(x) = (int)((x < 0) ? x - 1.0 : x)   // truncation toward zero
 
@@ -222,10 +222,11 @@ def floor_split_ref(a: DF):
     x == -2.0 it yields -3 with frac 1.0. We replicate that exactly.
 
     Valid for |a| < 2**23 (the engine's octave coordinates stay below ~8.4e6,
-    see module docstring). Returns frac as float32 (the narrow-to-float that
-    happens at the PerlinGradient call boundary, reference perlin.h:68) and
-    frac_m1 = frac - 1 computed before narrowing (reference perlin.h:69 passes
-    `x - 1` evaluated in double).
+    see module docstring). The DF pair carries the fraction to ~2^-48, which
+    is what licenses `double_mod1`'s incremental octave scheme. The op
+    sequence here is mirrored exactly by the Pallas kernel's in-kernel
+    restatement (ops.kernels.perlin_pallas._floor_split_df) — keep them in
+    lockstep, bit-identity between the XLA and Pallas engines depends on it.
     """
     one = np.float32(1.0)
     neg = a.hi < 0.0
@@ -249,12 +250,116 @@ def floor_split_ref(a: DF):
     adj = jnp.floor(f)
     adj = jnp.where((f == one) & (e <= 0.0), np.float32(0.0), adj)
     cell = cell_f.astype(jnp.int32) + adj.astype(jnp.int32)
-    ff = f - adj  # exact (adj in {-1, 0, 1}, result in [0, 1])
-    fh, fl = quick_two_sum(ff, e)
-    frac = fh  # already the correctly rounded f32 fraction
-    # frac - 1 must round ONCE from the full-precision fraction (the C code
-    # subtracts in double and narrows at the call boundary). fh - 1 alone can
-    # itself round (ulp grows to 2^-24 on [-1,0)), so track its residual.
-    t, terr = two_sum(fh, -one)
-    frac_m1 = t + (terr + fl)
-    return cell, frac, frac_m1
+    # f - adj itself can round (f = -8e-5, adj = -1: the sum needs ~37 bits),
+    # so capture its residual too — the pair must represent the fraction to
+    # full DF precision for the incremental doubling to be sound.
+    ff, ferr = two_sum(f, -adj)
+    fh, fl = quick_two_sum(ff, e + ferr)
+    return cell, fh, fl
+
+
+def frac_m1(fh, fl):
+    """f32-rounded (frac - 1) from a DF fraction. frac - 1 must round ONCE
+    from the full-precision fraction (the C code subtracts in double and
+    narrows at the PerlinGradient call boundary, perlin.h:69); fh - 1 alone
+    can itself round (ulp grows to 2^-24 on [-1,0)), so track its residual."""
+    t, terr = two_sum(fh, -np.float32(1.0))
+    return t + (terr + fl)
+
+
+def double_mod1(cell, fh, fl):
+    """Cell/frac split of 2*(cell + frac) from an existing split: one exact
+    doubling, a carry test, a Sterbenz-exact subtract, a renormalization.
+    The DF value 2*(fh + fl) - carry is preserved EXACTLY, so chaining this
+    per octave (lacunarity 2.0, reference main.cpp:828) keeps the octave-0
+    fraction's full precision through every octave."""
+    one = np.float32(1.0)
+    th = fh + fh
+    tl = fl + fl
+    # Normalization gives |tl| <= ulp(th)/2, so th + tl >= 1 reduces to:
+    carry = (th > one) | ((th == one) & (tl >= 0.0))
+    fh2 = jnp.where(carry, th - one, th)
+    fh3, fl3 = quick_two_sum(fh2, tl)
+    return cell * 2 + carry.astype(jnp.int32), fh3, fl3
+
+
+def floor_split_ref(a: DF):
+    """(int32 cell, f32 frac, f32 frac-1) — the point-query form of
+    floor_split_parts; see there for the FLOOR-macro semantics."""
+    cell, fh, fl = floor_split_parts(a)
+    return cell, fh, frac_m1(fh, fl)
+
+
+# ---------------------------------------------------------------------------
+# int24-pair fraction representation: the octave-parallel split scheme
+# ---------------------------------------------------------------------------
+#
+# With lacunarity exactly 2.0 (the product config, reference main.cpp:828)
+# octave o's cell/frac split of 2^o * x is a pure BIT SHIFT of octave 0's
+# split when the fraction is held as a 48-bit fixed-point integer pair
+# (hi24, lo24): frac = hi24 * 2^-24 + lo24 * 2^-48. Every octave's split is
+# then derived from octave 0 by STATIC shifts — no serial dependency chain
+# across octaves, which is what made the double_mod1 scheme the measured
+# bottleneck of the noise kernel (63% of kernel time on a v5e chip was the
+# per-octave split/renormalize chain; see tools/microbench_stages.py).
+#
+# Exactness: planet-scale engine coordinates are products of an f32 DF pair,
+# whose lowest-order bits sit at ~2^-43 — comfortably above the 2^-48
+# truncation floor, so the int24 pair carries the octave-0 fraction exactly
+# and every shifted octave split is exact. Coordinates with bits below 2^-48
+# (possible for |x| << 1 near cube-face centers) are truncated at 2^-48,
+# an error far inside the 1e-5 parity bar.
+#
+# Documented deviation from the reference FLOOR quirk: the reference's
+# FLOOR(x) = (int)(x<0 ? x-1 : x) yields cell = x-1 / frac = 1.0 at exact
+# negative integers (perlin.h:52-56). int24_parts canonicalizes frac 1.0 to
+# (cell+1, frac 0.0). The two forms select the same lattice gradient with
+# zero weight; the only numeric difference is the reference's f32 lerp
+# a + (b-a)*1.0 vs the exact b — a <=1-ulp difference on a measure-zero set
+# of inputs (exact dyadic coordinates). The f64 spec path (ops.perlin)
+# keeps the exact quirk semantics.
+
+
+_M24 = np.int32(2**24 - 1)
+_P24 = np.float32(2.0**-24)
+_P48 = np.float32(2.0**-48)
+
+
+def int24_parts(a: DF):
+    """(cell int32, hi24 int32, lo24 int32) from a DF coordinate: the
+    FLOOR-macro cell plus the fraction as 48-bit fixed point (truncated
+    toward zero at 2^-48, canonicalized so frac in [0, 1)).
+
+    The op sequence is mirrored by the Pallas kernel's in-kernel restatement
+    (ops.kernels.perlin_pallas._int24_parts) — keep them in lockstep;
+    bit-identity between the XLA and Pallas engines depends on it."""
+    cell, fh, fl = floor_split_parts(a)
+    t = fh * np.float32(2.0**24)         # exact: power-of-two scale
+    hi_f = jnp.trunc(t)
+    r = t - hi_f                         # exact: fractional bits of t
+    lo_f = jnp.floor(r * np.float32(2.0**24) + fl * np.float32(2.0**48))
+    lo_i = lo_f.astype(jnp.int32)
+    hi_i = hi_f.astype(jnp.int32) + (lo_i >> 24)   # borrow/carry (+-1)
+    lo_i = lo_i & _M24
+    # canonicalize: frac == 1.0 (the reference FLOOR quirk at exact negative
+    # integers) becomes cell+1 / frac 0. floor_split_parts guarantees
+    # frac >= 0, so hi_i >= 0 and the shift is a plain carry.
+    cell = cell + (hi_i >> 24)
+    hi_i = hi_i & _M24
+    return cell, hi_i, lo_i
+
+
+def shift_split24(cell, hi24, lo24, o: int):
+    """Octave-o cell/frac split from octave 0's int24 parts, by static
+    shifts (o in [0, 24)). Returns (cell_o int32, frac f32, frac-1 f32);
+    both f32 values round ONCE from the exact 48-bit fraction, matching
+    frac_m1's single-rounding contract."""
+    o = int(o)
+    assert 0 <= o < 24, o
+    cell_o = (cell << o) + (hi24 >> (24 - o)) if o else cell
+    hi_o = ((hi24 << o) | (lo24 >> (24 - o))) & _M24 if o else hi24
+    lo_o = (lo24 << o) & _M24 if o else lo24
+    lo_f = lo_o.astype(jnp.float32) * _P48
+    fh = hi_o.astype(jnp.float32) * _P24 + lo_f
+    fm1 = (hi_o - np.int32(2**24)).astype(jnp.float32) * _P24 + lo_f
+    return cell_o, fh, fm1

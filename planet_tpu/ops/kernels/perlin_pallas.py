@@ -9,16 +9,30 @@ TPU-native design decisions (measured on a v5e chip, tools/microbench_*.py):
 
 * **Lane-wise dynamic gather** for table lookups: Mosaic lowers
   ``jnp.take_along_axis(table, idx, axis=1)`` on (rows, 128) registers to a
-  native per-lane gather (~11 G lookups/s measured). A 256-entry table is
-  two 128-lane gathers + a bit-7 select. This beats one-hot MXU matmuls
-  (~0.1 G/s) and XLA's general gather (~0.03 G/s) by two orders of magnitude.
+  native per-lane gather. This beats one-hot MXU matmuls (~0.1 G/s) and
+  XLA's general gather (~0.03 G/s) by two orders of magnitude.
+* **Packed pair tables** (round 3): the hash chain always needs the pair
+  ``t[i], t[i+1]`` (corner dx/dy/dz in {0,1}, perlin.h:68-75), and a
+  256-entry table must live in 128 lanes. One int32 table entry therefore
+  packs FOUR values: ``t[l], t[l+1]`` (low half) and ``t[l+128], t[l+129]``
+  (high half); a single lane-gather + a bit-7-driven variable shift yields
+  both hash values of a corner pair. That is 7 gathers per octave (1 for the
+  x stage, 2 for y, 4 for z) instead of the 28 a naive two-gather-per-lookup
+  chain costs — the gather stage was the measured 72%-of-time bottleneck in
+  round 2.
 * **Packed gradient signs**: the final hash stage folds the table lookup,
-  ``& 15`` and the 16-gradient-vector selection (perlin.h:30-48) into ONE
-  6-bit-packed sign table P[s] = (sx+1) | (sy+1)<<2 | (sz+1)<<4, decoded with
-  shifts — 8 lookups per corner-set instead of 24.
+  ``& 15`` and the 16-gradient-vector selection (perlin.h:30-48) into a
+  6-bit-packed sign code (sx+1) | (sy+1)<<2 | (sz+1)<<4, decoded with
+  shifts; the dz=0/dz=1 codes of a corner column ride in one packed entry.
 * **Double-float coordinates** (planet_tpu.nums.df): the cell/frac split
   needs ~49 mantissa bits at planet scale; the error-free transformations run
   as plain f32 VPU ops inside the kernel.
+* **Incremental octave doubling**: with lacunarity exactly 2.0 (the product
+  config, main.cpp:828), octave i+1's cell/frac split is derived from octave
+  i's by one exact doubling + conditional Sterbenz subtract — bit-identical
+  to re-splitting the scaled coordinate (the fraction of the planet-scale
+  coordinate spans <= 48 contiguous mantissa bits, so the normalized DF pair
+  represents it exactly in both derivations) at a third of the ops.
 * **Static octave unroll**: octave count, lacunarity and gain are
   compile-time constants (the terrain functor picks octaves per quad depth,
   main.cpp:823-832), so the whole multi-octave evaluation is one straight-line
@@ -57,28 +71,48 @@ def _packed_sign_table() -> np.ndarray:
     return ((g[:, 0] + 1) | ((g[:, 1] + 1) << 2) | ((g[:, 2] + 1) << 4)).astype(np.int32)
 
 
+@functools.lru_cache(maxsize=None)
+def _packed_tables_np():
+    """The two packed pair tables as (8, 128) int32 numpy arrays
+    (sublane-broadcast so the in-kernel row broadcast is free).
+
+    CT[l] = t[l] | t[(l+1)&255]<<8 | t[l+128]<<16 | t[(l+129)&255]<<24
+    PT[l] = P[l] | P[(l+1)&255]<<6 | (P[l+128] | P[(l+129)&255]<<6) << 16
+
+    so table[idx&255], table[(idx+1)&255] are both recovered from ONE
+    128-lane gather at idx&127 followed by ``>> ((idx>>3)&16)``.
+    """
+    t = PERLIN_TABLE.astype(np.int64)
+    p = _packed_sign_table().astype(np.int64)
+    l = np.arange(LANES)
+    ct = (t[l] | t[(l + 1) & 255] << 8
+          | t[l + 128] << 16 | t[(l + 129) & 255] << 24)
+    p2lo = p[l] | p[(l + 1) & 255] << 6
+    p2hi = p[l + 128] | p[(l + 129) & 255] << 6
+    pt = p2lo | p2hi << 16
+    def rep(arr):
+        a = arr.astype(np.uint32).view(np.int32)
+        return np.broadcast_to(a[None, :], (8, LANES)).copy()
+    return rep(ct), rep(pt)
+
+
 def _tables_for_kernel():
-    """Both 256-entry tables as (8, 128) lo/hi halves (sublane-broadcast so
-    the in-kernel row broadcast is free)."""
-    t = PERLIN_TABLE.astype(np.int32)
-    p = _packed_sign_table()
-    def halves(arr):
-        return (np.broadcast_to(arr[None, :LANES], (8, LANES)).copy(),
-                np.broadcast_to(arr[None, LANES:], (8, LANES)).copy())
-    tlo, thi = halves(t)
-    plo, phi = halves(p)
-    return jnp.asarray(tlo), jnp.asarray(thi), jnp.asarray(plo), jnp.asarray(phi)
+    ct, pt = _packed_tables_np()
+    return jnp.asarray(ct), jnp.asarray(pt)
 
 
-def _lookup256(lo_ref, hi_ref, idx):
-    """table[idx & 255] for idx (rows, 128) int32 via two lane gathers."""
-    idx = idx & 255
-    low7 = idx & 127
-    tlo = jnp.broadcast_to(lo_ref[0:1, :], low7.shape)
-    thi = jnp.broadcast_to(hi_ref[0:1, :], low7.shape)
-    a = jnp.take_along_axis(tlo, low7, axis=1)
-    b = jnp.take_along_axis(thi, low7, axis=1)
-    return jnp.where(idx >= 128, b, a)
+def _lookup_pair(ref, idx):
+    """(table[idx&255], table[(idx+1)&255]) packed into one 16-bit field,
+    for idx (rows, 128) int32, via ONE lane gather on a packed pair table.
+
+    NOTE the returned word is NOT masked to 16 bits: bit 7 of idx selects
+    the high half's 16-bit field by a variable shift, and when it is 0 the
+    high half's bits remain above bit 15 (sign bits included). Callers
+    always re-mask the two 8-bit (ct) / 6-bit (pt) values they extract, so
+    the mask here would be a wasted VPU op in the hottest loop."""
+    tab = jnp.broadcast_to(ref[0:1, :], idx.shape)
+    g = jnp.take_along_axis(tab, idx & 127, axis=1)
+    return g >> ((idx >> 3) & 16)
 
 
 def _two_sum(a, b):
@@ -92,11 +126,13 @@ def _quick_two_sum(a, b):
     return s, b - (s - a)
 
 
-def _floor_split(hi, lo):
-    """(cell int32, frac f32, frac-1 f32) with the reference FLOOR semantics
-    (perlin.h:52-56) from a double-float coordinate — the in-kernel
-    restatement of nums.df.floor_split_ref (see there for the full rationale,
-    including the frac == 1.0 exact-negative-integer case)."""
+def _floor_split_df(hi, lo):
+    """(cell int32, frac as a normalized DF pair) with the reference FLOOR
+    semantics (perlin.h:52-56) from a double-float coordinate — the in-kernel
+    restatement of nums.df.floor_split_parts (see there for the full
+    rationale, including the frac == 1.0 exact-negative-integer case). The
+    op sequence MUST stay in lockstep with that function: the XLA and Pallas
+    engines are bit-identical because the two are structurally identical."""
     one = np.float32(1.0)
     neg = hi < 0.0
     cell_f = jnp.where(neg, jnp.trunc(hi - one), jnp.trunc(hi))
@@ -107,45 +143,98 @@ def _floor_split(hi, lo):
     adj = jnp.floor(f)
     adj = jnp.where((f == one) & (e <= 0.0), np.float32(0.0), adj)
     cell = cell_f.astype(_I32) + adj.astype(_I32)
-    ff = f - adj
-    fh, fl = _quick_two_sum(ff, e)
-    t, terr = _two_sum(fh, -one)
-    return cell, fh, t + (terr + fl)
+    ff, ferr = _two_sum(f, -adj)
+    fh, fl = _quick_two_sum(ff, e + ferr)
+    return cell, fh, fl
+
+
+def _fm1(fh, fl):
+    """f32-rounded (frac - 1) from the DF fraction — nums.df.frac_m1."""
+    t, terr = _two_sum(fh, -np.float32(1.0))
+    return t + (terr + fl)
+
+
+def _floor_split(hi, lo):
+    cell, fh, fl = _floor_split_df(hi, lo)
+    return cell, fh, _fm1(fh, fl)
+
+
+_M24 = np.int32(2**24 - 1)
+_P24 = np.float32(2.0**-24)
+_P48 = np.float32(2.0**-48)
+
+
+def _int24_parts(hi, lo):
+    """(cell, hi24, lo24) int24 fixed-point split — the in-kernel restatement
+    of nums.df.int24_parts (see there for exactness/truncation analysis and
+    the FLOOR-quirk canonicalization). Keep the op sequence in lockstep:
+    XLA/Pallas bit-identity depends on it."""
+    cell, fh, fl = _floor_split_df(hi, lo)
+    t = fh * np.float32(2.0**24)
+    hi_f = jnp.trunc(t)
+    r = t - hi_f
+    lo_f = jnp.floor(r * np.float32(2.0**24) + fl * np.float32(2.0**48))
+    lo_i = lo_f.astype(_I32)
+    hi_i = hi_f.astype(_I32) + (lo_i >> 24)
+    lo_i = lo_i & _M24
+    cell = cell + (hi_i >> 24)
+    hi_i = hi_i & _M24
+    return cell, hi_i, lo_i
+
+
+def _shift_split24(cell, hi24, lo24, o: int):
+    """Octave-o (cell, frac, frac-1) by static shifts of octave 0's int24
+    parts — nums.df.shift_split24 restated in-kernel. All octaves derive
+    from octave 0 independently: no cross-octave dependency chain (the
+    double-float double_mod1 chain this replaces was 63% of kernel time)."""
+    o = int(o)
+    cell_o = (cell << o) + (hi24 >> (24 - o)) if o else cell
+    hi_o = ((hi24 << o) | (lo24 >> (24 - o))) & _M24 if o else hi24
+    lo_o = (lo24 << o) & _M24 if o else lo24
+    lo_f = lo_o.astype(_F32) * _P48
+    fh = hi_o.astype(_F32) * _P24 + lo_f
+    fm1 = (hi_o - np.int32(2**24)).astype(_F32) * _P24 + lo_f
+    return cell_o, fh, fm1
 
 
 def _fade(t):
     return ((t * np.float32(6.0) - np.float32(15.0)) * t + np.float32(10.0)) * t * t * t
 
 
-def _noise3_core(tlo, thi, plo, phi, cx, fx, fxm1, cy, fy, fym1, cz, fz, fzm1):
+def _noise3_core(ct, pt, cx, fx, fxm1, cy, fy, fym1, cz, fz, fzm1):
     """One octave of gradient noise for a (rows, 128) block, given cell/frac
-    splits per axis. Returns f32 noise values."""
+    splits per axis. Returns f32 noise values.
+
+    Hash chain (perlin.h:68-75) with pair lookups: stage 1 yields
+    A0=t[ix], A1=t[ix+1] from one gather; stage 2 yields (B00,B01) and
+    (B10,B11); stage 3 yields each corner column's packed dz=0/dz=1 sign
+    codes. 7 gathers total."""
     u, v, w = _fade(fx), _fade(fy), _fade(fz)
 
-    # Stage 1: A0 = t[ix], A1 = t[ix+1]
-    a0 = _lookup256(tlo, thi, cx)
-    a1 = _lookup256(tlo, thi, cx + 1)
-    # Stage 2: B(a, dy) = t[(a + iy + dy) & 255]
-    b00 = _lookup256(tlo, thi, a0 + cy)
-    b01 = _lookup256(tlo, thi, a0 + cy + 1)
-    b10 = _lookup256(tlo, thi, a1 + cy)
-    b11 = _lookup256(tlo, thi, a1 + cy + 1)
+    pa = _lookup_pair(ct, cx)
+    a0 = pa & 255
+    a1 = pa >> 8
+    pb0 = _lookup_pair(ct, a0 + cy)
+    pb1 = _lookup_pair(ct, a1 + cy)
 
-    def grad(b, dz, gx, gy, gz):
-        s = _lookup256(plo, phi, b + cz + dz)
-        sx = (s & 3).astype(_F32) - np.float32(1.0)
-        sy = ((s >> 2) & 3).astype(_F32) - np.float32(1.0)
-        sz = ((s >> 4) & 3).astype(_F32) - np.float32(1.0)
-        return (gx * sx + gy * sy) + gz * sz
+    one = np.float32(1.0)
 
-    g000 = grad(b00, 0, fx, fy, fz)
-    g100 = grad(b10, 0, fxm1, fy, fz)
-    g010 = grad(b01, 0, fx, fym1, fz)
-    g110 = grad(b11, 0, fxm1, fym1, fz)
-    g001 = grad(b00, 1, fx, fy, fzm1)
-    g101 = grad(b10, 1, fxm1, fy, fzm1)
-    g011 = grad(b01, 1, fx, fym1, fzm1)
-    g111 = grad(b11, 1, fxm1, fym1, fzm1)
+    def grad2(pb_shift, gx, gy):
+        # corner column (dx, dy) fixed by b = t[a+iy(+1)]; returns the dz=0
+        # (frac fz) and dz=1 (frac fzm1) gradient dots.
+        b = pb_shift & 255
+        s2 = _lookup_pair(pt, b + cz)
+        def dot(s, gz):
+            sx = (s & 3).astype(_F32) - one
+            sy = ((s >> 2) & 3).astype(_F32) - one
+            sz = ((s >> 4) & 3).astype(_F32) - one
+            return (gx * sx + gy * sy) + gz * sz
+        return dot(s2 & 63, fz), dot((s2 >> 6) & 63, fzm1)
+
+    g000, g001 = grad2(pb0, fx, fy)
+    g010, g011 = grad2(pb0 >> 8, fx, fym1)
+    g100, g101 = grad2(pb1, fxm1, fy)
+    g110, g111 = grad2(pb1 >> 8, fxm1, fym1)
 
     def lerp(a, b, t):
         return a + (b - a) * t
@@ -192,7 +281,7 @@ def _df_scale(xhi, xlo, chi, clo):
 
 
 def accumulate_octaves(kind: str, octaves: int, lacunarity: float, gain,
-                       tlo_ref, thi_ref, plo_ref, phi_ref,
+                       ct_ref, pt_ref,
                        xh, xl, yh, yl, zh, zl, oct_mask_fn=None):
     """The multi-octave fBm/ridged accumulation over double-float coordinate
     blocks — shared by the flat noise kernel and the fused tile kernel.
@@ -209,24 +298,27 @@ def accumulate_octaves(kind: str, octaves: int, lacunarity: float, gain,
     value = jnp.zeros_like(xh)
     weight = None if kind == "fbm" else jnp.ones_like(xh)
     amplitude = np.float32(1.0)
+    parts = None
 
     for i in range(octaves):
         if pow2:
-            s = np.float32(2.0) ** i     # exact
-            oxh, oxl = xh * s, xl * s
-            oyh, oyl = yh * s, yl * s
-            ozh, ozl = zh * s, zl * s
+            # octave-parallel: one int24 split at octave 0, every octave's
+            # cell/frac derived from it by static shifts (no serial chain).
+            if parts is None:
+                parts = (_int24_parts(xh, xl), _int24_parts(yh, yl),
+                         _int24_parts(zh, zl))
+            (cx, fx, fxm1), (cy, fy, fym1), (cz, fz, fzm1) = (
+                _shift_split24(*p, i) for p in parts)
         else:
             chi, clo = freqs[i]
             oxh, oxl = _df_scale(xh, xl, chi, clo)
             oyh, oyl = _df_scale(yh, yl, chi, clo)
             ozh, ozl = _df_scale(zh, zl, chi, clo)
+            cx, fx, fxm1 = _floor_split(oxh, oxl)
+            cy, fy, fym1 = _floor_split(oyh, oyl)
+            cz, fz, fzm1 = _floor_split(ozh, ozl)
 
-        cx, fx, fxm1 = _floor_split(oxh, oxl)
-        cy, fy, fym1 = _floor_split(oyh, oyl)
-        cz, fz, fzm1 = _floor_split(ozh, ozl)
-
-        n = _noise3_core(tlo_ref, thi_ref, plo_ref, phi_ref,
+        n = _noise3_core(ct_ref, pt_ref,
                          cx, fx, fxm1, cy, fy, fym1, cz, fz, fzm1)
 
         live = None if oct_mask_fn is None else oct_mask_fn(i)
@@ -252,10 +344,9 @@ def accumulate_octaves(kind: str, octaves: int, lacunarity: float, gain,
 
 def _make_kernel(kind: str, octaves: int, lacunarity: float, gain: float):
     def kernel(xh_ref, xl_ref, yh_ref, yl_ref, zh_ref, zl_ref,
-               tlo_ref, thi_ref, plo_ref, phi_ref, out_ref):
+               ct_ref, pt_ref, out_ref):
         out_ref[:] = accumulate_octaves(
-            kind, octaves, lacunarity, gain,
-            tlo_ref, thi_ref, plo_ref, phi_ref,
+            kind, octaves, lacunarity, gain, ct_ref, pt_ref,
             xh_ref[:], xl_ref[:], yh_ref[:], yl_ref[:], zh_ref[:], zl_ref[:])
 
     return kernel
@@ -274,7 +365,7 @@ def _build_call(kind: str, octaves: int, lacunarity: float, gain: float,
         kernel,
         out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
         grid=(grid,),
-        in_specs=[data_spec] * 6 + [table_spec] * 4,
+        in_specs=[data_spec] * 6 + [table_spec] * 2,
         out_specs=data_spec,
         interpret=interpret,
     )

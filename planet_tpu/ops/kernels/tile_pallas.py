@@ -72,7 +72,7 @@ def _make_tile_kernel(kind: str, octaves: int, lacunarity: float,
     amp = np.float32(amplitude)
     lanes_per_row = dim * dim // rows_per_tile     # texels per row = LANES
 
-    def kernel(cref, tlo_ref, thi_ref, plo_ref, phi_ref, out_ref):
+    def kernel(cref, ct_ref, pt_ref, out_ref):
         br = out_ref.shape[0]
         # texel coordinates from iota: within-tile texel = (r % rpt)*128 + lane
         r = jax.lax.broadcasted_iota(jnp.int32, (br, LANES), 0)
@@ -119,8 +119,7 @@ def _make_tile_kernel(kind: str, octaves: int, lacunarity: float,
             oct_mask_fn = lambda i: np.float32(i) < oct_row
 
         value = pk.accumulate_octaves(
-            kind, octaves, lacunarity, gain,
-            tlo_ref, thi_ref, plo_ref, phi_ref, *coords,
+            kind, octaves, lacunarity, gain, ct_ref, pt_ref, *coords,
             oct_mask_fn=oct_mask_fn)
         out_ref[:] = value * amp
 
@@ -152,7 +151,7 @@ def _build_tile_call(kind: str, octaves: int, lacunarity: float, gain: float,
         kernel,
         out_shape=jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32),
         grid=(grid,),
-        in_specs=[corner_spec] + [table_spec] * 4,
+        in_specs=[corner_spec] + [table_spec] * 2,
         out_specs=data_spec,
         interpret=interpret,
     )

@@ -126,13 +126,22 @@ def perlin3_f64(x, y, z):
     return _combine(ix, iy, iz, fx, fy, fz, fxm1, fym1, fzm1, u, v, w)
 
 
-def perlin3_df(x: dfm.DF, y: dfm.DF, z: dfm.DF):
-    """TPU path: double-float in, float32 out."""
-    ix, fx, fxm1 = dfm.floor_split_ref(x)
-    iy, fy, fym1 = dfm.floor_split_ref(y)
-    iz, fz, fzm1 = dfm.floor_split_ref(z)
+def _perlin3_from_splits(px, py, pz):
+    """One noise evaluation from per-axis (cell, frac, frac-1) f32 splits —
+    the shared core of perlin3_df and the octave-parallel loops below."""
+    (ix, fx, fxm1), (iy, fy, fym1), (iz, fz, fzm1) = px, py, pz
     u, v, w = _fade_f32(fx), _fade_f32(fy), _fade_f32(fz)
     return _combine(ix, iy, iz, fx, fy, fz, fxm1, fym1, fzm1, u, v, w)
+
+
+def perlin3_df(x: dfm.DF, y: dfm.DF, z: dfm.DF):
+    """TPU path: double-float in, float32 out. Routes through the int24
+    fixed-point fraction (nums.df.int24_parts) so a single evaluation is
+    bit-identical to octave 0 of the multi-octave loops."""
+    return _perlin3_from_splits(
+        dfm.shift_split24(*dfm.int24_parts(x), 0),
+        dfm.shift_split24(*dfm.int24_parts(y), 0),
+        dfm.shift_split24(*dfm.int24_parts(z), 0))
 
 
 # ---------------------------------------------------------------------------
@@ -196,14 +205,31 @@ def _df_freq_coords(x, y, z, lacunarity, i):
     return dfm.mul(x, fdf), dfm.mul(y, fdf), dfm.mul(z, fdf)
 
 
+def _df_octave_noises(x, y, z, lacunarity, octaves):
+    """Per-octave noise values. Lacunarity 2.0 (the product config) runs the
+    octave-parallel scheme: one int24 fixed-point split at octave 0, then
+    every octave's cell/frac split is a STATIC bit shift of it
+    (nums.df.shift_split24) — no serial dependency chain across octaves, in
+    lockstep with the Pallas kernel's accumulate_octaves so the two engines
+    stay bit-identical. Other lacunarities rescale the coordinates per
+    octave."""
+    if float(lacunarity) == 2.0:
+        parts = (dfm.int24_parts(x), dfm.int24_parts(y), dfm.int24_parts(z))
+        for i in range(octaves):
+            yield _perlin3_from_splits(*(dfm.shift_split24(*p, i) for p in parts))
+    else:
+        for i in range(octaves):
+            xi, yi, zi = _df_freq_coords(x, y, z, lacunarity, i)
+            yield perlin3_df(xi, yi, zi)
+
+
 def fbm_df(x: dfm.DF, y: dfm.DF, z: dfm.DF, lacunarity=2.0,
            gain=np.float32(0.5), octaves=6):
     gain = np.float32(gain)
     amplitude = np.float32(1.0)
     value = jnp.zeros(jnp.broadcast_shapes(x.shape, y.shape, z.shape), _F32)
-    for i in range(octaves):
-        xi, yi, zi = _df_freq_coords(x, y, z, lacunarity, i)
-        value = value + perlin3_df(xi, yi, zi) * amplitude
+    for n in _df_octave_noises(x, y, z, lacunarity, octaves):
+        value = value + n * amplitude
         amplitude = amplitude * gain
     return value
 
@@ -216,9 +242,7 @@ def ridged_df(x: dfm.DF, y: dfm.DF, z: dfm.DF, lacunarity=2.0,
     shape = jnp.broadcast_shapes(x.shape, y.shape, z.shape)
     weight = jnp.ones(shape, _F32)
     value = jnp.zeros(shape, _F32)
-    for i in range(octaves):
-        xi, yi, zi = _df_freq_coords(x, y, z, lacunarity, i)
-        n = perlin3_df(xi, yi, zi)
+    for n in _df_octave_noises(x, y, z, lacunarity, octaves):
         v = jnp.abs(n)
         v = offset - v
         v = v * v
