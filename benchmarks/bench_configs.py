@@ -226,7 +226,7 @@ def config5():
          np.asarray(cl, np.float32).transpose(0, 2, 1)],
         axis=-1).reshape(n, 24)
     dev = jax.device_put(jnp.asarray(per_tile))
-    chunk = 8192 if on_tpu else 512
+    chunk = min(8192 if on_tpu else 512, n)   # dynamic_slice needs <= n
     rows_per_tile = cfg.tile_dim * cfg.tile_dim // tile_pallas.LANES
 
     def chunk_sum(pt_all, start):

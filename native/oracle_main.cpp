@@ -478,7 +478,8 @@ static void raster_tri(const RVert v[3], int width, int height,
             float shade = sqrtf(0.001f + fmaxf(0.0f, ndl));
             int32_t zq = (int32_t)((z * 0.5f + 0.5f) * (float)((1 << kDepthBits) - 1));
             if (zq < 0) zq = 0;
-            if (zq > (1 << kDepthBits) - 1) zq = (1 << kDepthBits) - 1;
+            // clamp to 2^21 - 2: the all-ones word is the empty sentinel
+            if (zq > (1 << kDepthBits) - 2) zq = (1 << kDepthBits) - 2;
             int32_t sq = (int32_t)(shade * (float)((1 << kShadeBits) - 1));
             if (sq < 0) sq = 0;
             if (sq > (1 << kShadeBits) - 1) sq = (1 << kShadeBits) - 1;

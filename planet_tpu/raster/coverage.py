@@ -18,23 +18,32 @@ vector program shaped for the VPU:
   a zero edge value is inside iff the (orientation-normalized) edge
   direction has dy < 0, or dy == 0 and dx > 0. Two triangles sharing an
   edge therefore partition its pixels exactly (no double-shade, no seam).
-* Work is split by bounding-box SIZE CLASS, all vectorized over triangles:
-    small:  every live triangle tests the 2x2 pixel window at its bbox min
-            (the LOD policy keeps cells ~1 px, so this is the steady state;
-            a bigger triangle gets a correct SUBSET here, duplicates are
-            idempotent under the depth min)
-    mid:    bbox <= 16x16, compacted to `mid_cap` slots, 256 candidates
-    large:  bbox <= 128x128, compacted to `large_cap` slots
-    huge:   anything bigger, compacted to `huge_cap`, rasterized by a
-            sequential full-screen scan (skipped via lax.cond when empty)
+* Work is split into ROW JOBS binned by bbox width (ROW_LADDER): a live
+  triangle with bbox height h emits h jobs, one per bbox pixel row; each
+  job evaluates `win_w` candidate pixels of its row, in the narrowest
+  ladder class with win_w >= bbox width. Candidate lanes therefore track
+  true bbox area (the LOD workload is dominated by wide, short triangles
+  at grazing angles). Triangles taller than MAX_BH rows or wider than the
+  widest class are `huge`: compacted to `huge_cap` slots and rasterized
+  by a sequential full-screen scan (skipped via lax.cond when empty).
   Caps overflowing is reported in the returned counters, never silent.
 * The depth test is one scatter-min of packed (21-bit quantized NDC depth,
   10-bit shade) int32 keys per class — LEQUAL semantics with ties broken
   toward darker shade, deterministically.
 
-Fragments interpolate 1/w and normal*(1/w) linearly in screen space and
-divide per fragment — exactly GL's perspective-correct varyings — then
-shade sqrt(0.001 + max(0, n.l)) like the reference fragment program.
+Fragments interpolate 1/w and normal*(1/w) linearly in screen space —
+exactly GL's perspective-correct varyings — then shade
+sqrt(0.001 + max(0, n.l)) like the reference fragment program (the 1/w
+divide cancels inside the normalize, see _fragments).
+
+Documented parity deviations from the GL reference:
+* Far plane: no clipping — interpolated z > 1 depth-CLAMPS into the last
+  depth quantum (GL would clip the fragment).
+* Near plane: no clipping — a triangle with ANY vertex at w <= 1e-9 is
+  culled whole (tri_ok in _setup requires all three vertices), where GL
+  would clip and draw the visible part. Planet-scale geometry straddles
+  the camera plane only when the camera is inside terrain; the engine's
+  LOD policy keeps such triangles out of the working set.
 """
 
 from __future__ import annotations
@@ -171,20 +180,6 @@ def _setup(clip, normal, valid, width: int, height: int,
                  px0=px0c, py0=py0c, px1=px1c, py1=py1c, live=live)
 
 
-def _edge(xa, ya, xb, yb, px, py):
-    """Edge function of directed edge a->b at point p, orientation-scaled so
-    the (front-facing) interior is positive."""
-    return ((xb - xa) * (py - ya) - (yb - ya) * (px - xa)) * FRONT_SIGN
-
-
-def _edge_accept(e, xa, ya, xb, yb):
-    """Top-left fill rule on the orientation-normalized edge direction."""
-    dx = (xb - xa) * FRONT_SIGN
-    dy = (yb - ya) * FRONT_SIGN
-    topleft = (dy < 0.0) | ((dy == 0.0) & (dx > 0.0))
-    return (e > 0.0) | ((e == 0.0) & topleft)
-
-
 def _fragments(t: _Tris, live, px, py, width: int, height: int):
     """Evaluate coverage + attributes at integer pixel candidates.
 
@@ -197,26 +192,53 @@ def _fragments(t: _Tris, live, px, py, width: int, height: int):
     x = [t.x[..., i, None] for i in range(3)]
     y = [t.y[..., i, None] for i in range(3)]
 
-    e0 = _edge(x[1], y[1], x[2], y[2], pcx, pcy)   # opposite vertex 0
-    e1 = _edge(x[2], y[2], x[0], y[0], pcx, pcy)
-    e2 = _edge(x[0], y[0], x[1], y[1], pcx, pcy)
-    inside = (_edge_accept(e0, x[1], y[1], x[2], y[2])
-              & _edge_accept(e1, x[2], y[2], x[0], y[0])
-              & _edge_accept(e2, x[0], y[0], x[1], y[1]))
+    # Edge functions evaluated relative to the bbox-min pixel center: the
+    # scalar part C carries the (possibly large, off-screen) vertex
+    # offsets, the vector part sees only small in-window deltas. Inside
+    # the exactness domain every term is an exact multiple of 1/256 below
+    # 2^24 so e is the exact edge value; outside it, the op sequence is
+    # reproduced verbatim by the Pallas engine so the two backends stay
+    # bit-identical even where f32 rounds.
+    fs = np.float32(FRONT_SIGN)
+    ox = t.px0.astype(_F32)[..., None] + np.float32(0.5)
+    oy = t.py0.astype(_F32)[..., None] + np.float32(0.5)
+    rx = pcx - ox
+    ry = pcy - oy
 
+    def edge(xa, ya, xb, yb):
+        DX = (xb - xa) * fs
+        DY = (yb - ya) * fs
+        c = DX * (oy - ya) - DY * (ox - xa)
+        e = (DX * ry - DY * rx) + c
+        topleft = (DY < 0.0) | ((DY == 0.0) & (DX > 0.0))
+        return e, (e > 0.0) | ((e == 0.0) & topleft)
+
+    e0, a0 = edge(x[1], y[1], x[2], y[2])          # opposite vertex 0
+    e1, a1 = edge(x[2], y[2], x[0], y[0])
+    e2, a2 = edge(x[0], y[0], x[1], y[1])
+    inside = a0 & a1 & a2
+
+    # Barycentric attributes with inv_area folded into per-triangle
+    # coefficients (one scalar mul per attribute instead of three full
+    # l0/l1/l2 products per fragment). The 1/w perspective divide cancels
+    # between the interpolated normal and its own normalization, so the
+    # shade n.l is computed from the UNNORMALIZED screen-interpolated
+    # normal*(1/w) — mathematically identical to GL's divide-then-normalize
+    # (main.cpp:361-365, 373-380), cheaper by three divisions per fragment.
+    # NOTE: every expression here is kept in op-for-op lockstep with the
+    # Pallas fragment engine (coverage_pallas._window_pass) — the two
+    # engines are asserted bit-identical.
     ia = t.inv_area[..., None]
-    l0 = e0 * ia
-    l1 = e1 * ia
-    l2 = e2 * ia
-    z = (l0 * t.z[..., 0, None] + l1 * t.z[..., 1, None]
-         + l2 * t.z[..., 2, None])
-    iw = (l0 * t.iw[..., 0, None] + l1 * t.iw[..., 1, None]
-          + l2 * t.iw[..., 2, None])
-    iw_safe = jnp.where(iw > 0.0, iw, 1.0)
-    n = [(l0 * t.niw[..., 0, c, None] + l1 * t.niw[..., 1, c, None]
-          + l2 * t.niw[..., 2, c, None]) / iw_safe for c in range(3)]
-    nlen = jnp.sqrt(n[0] * n[0] + n[1] * n[1] + n[2] * n[2])
-    ndotl = (n[0] * np.float32(_LIGHT[0]) + n[1] * np.float32(_LIGHT[1])
+    cz = [t.z[..., i, None] * ia for i in range(3)]
+    ciw = [t.iw[..., i, None] * ia for i in range(3)]
+    z = (e0 * cz[0] + e1 * cz[1]) + e2 * cz[2]
+    iw = (e0 * ciw[0] + e1 * ciw[1]) + e2 * ciw[2]
+    n = [(e0 * (t.niw[..., 0, c, None] * ia)
+          + e1 * (t.niw[..., 1, c, None] * ia))
+         + e2 * (t.niw[..., 2, c, None] * ia) for c in range(3)]
+    nlen = jnp.sqrt((n[0] * n[0] + n[1] * n[1]) + n[2] * n[2])
+    assert _LIGHT[0] == 0.0          # x term dropped below
+    ndotl = (n[1] * np.float32(_LIGHT[1])
              + n[2] * np.float32(_LIGHT[2])) / jnp.where(nlen > 0, nlen, 1.0)
     shade = jnp.sqrt(np.float32(0.001) + jnp.maximum(0.0, ndotl))
 
@@ -227,8 +249,11 @@ def _fragments(t: _Tris, live, px, py, width: int, height: int):
     # quantizer clamps it; only fragments in front of the near plane reject
     ok = live[..., None] & inside & in_vp & (z >= -1.0) & (iw > 0.0)
 
+    # depth clamps to 2^21 - 2 (not -1): the all-ones packed word is the
+    # _EMPTY sentinel, and a far-plane-clamped fully-lit fragment must not
+    # alias it (it would decode as background)
     zq = jnp.clip((z * 0.5 + 0.5) * np.float32(2**_DEPTH_BITS - 1),
-                  0, 2**_DEPTH_BITS - 1).astype(_I32)
+                  0, 2**_DEPTH_BITS - 2).astype(_I32)
     sq = jnp.clip(shade * np.float32(2**_SHADE_BITS - 1),
                   0, 2**_SHADE_BITS - 1).astype(_I32)
     packed = (zq << _SHADE_BITS) | sq

@@ -42,16 +42,17 @@ from planet_tpu.raster.splat import _DEPTH_BITS, _EMPTY, _SHADE_BITS
 _F32 = jnp.float32
 _I32 = jnp.int32
 
-WIN_W = 256                      # lane-aligned window width (>= 2 blocks)
-MAX_BW = 128                     # widest bbox the window can cover
+WIN_W = 128                      # one lane-aligned framebuffer block
+MAX_BW = 128                     # widest bbox the ladder accepts
 H_CLASSES = (8, 16, 32, 64, 128)  # bbox-height ladder
-# per-class triangle caps: ~2x the measured 1080p LOD demand
-# (28826/13856/5237/443/12 at 20 km altitude); fully-dead record blocks
-# are skipped in-kernel, so oversizing costs ~nothing at runtime; overflow
-# is counted, never silent. The 128-row class exists so near-silhouette
-# tall triangles stay off the XLA full-screen scan (measured ~20 ms per
-# frame whenever a single such triangle is live).
-DEFAULT_CAPS = (49152, 24576, 8192, 2048, 512)
+# per-class triangle caps: ~1.3x the measured 1080p LOD demand
+# (28826/13856/5237/443/12 at 20 km altitude). Fully-dead record blocks
+# are skipped in-kernel, but the XLA-side RECORD GATHER pays ~49 ns per
+# cap row whether live or dead (trace: 2.39 ms at the old 49152 cap), so
+# caps are sized tight; overflow is counted, never silent. The 128-row
+# class exists so near-silhouette tall triangles stay off the XLA
+# full-screen scan (measured ~20 ms per frame whenever one was live).
+DEFAULT_CAPS = (38912, 18432, 7168, 1024, 256)
 TRI_BLOCK = 16                   # triangles per grid step
 
 
@@ -62,7 +63,6 @@ def _raster_class_kernel(maxh: int, width_pad: int, rec_ref, fb_in_ref,
     The framebuffer blocks use a constant index map, so both stay VMEM-
     resident across the whole grid; the OUTPUT block starts undefined and
     is seeded from the (HBM-aliased) input once, then accumulated."""
-    f = _F32
 
     @pl.when(pl.program_id(0) == 0)
     def _seed():
@@ -74,82 +74,130 @@ def _raster_class_kernel(maxh: int, width_pad: int, rec_ref, fb_in_ref,
     for t in range(1, TRI_BLOCK):
         any_live = any_live | (rec_ref[t, 26] > 0.5)
 
+    winh = maxh + 8
+    # static iotas shared by every triangle in the block
+    rowi = jax.lax.broadcasted_iota(_I32, (winh, WIN_W), 0)
+    coli = jax.lax.broadcasted_iota(_I32, (winh, WIN_W), 1)
+    rowf = rowi.astype(_F32)
+    colf = coli.astype(_F32)
+
     def _block():
         for t in range(TRI_BLOCK):
-            _one_triangle(maxh, width_pad, rec_ref, fb_ref, t)
+            _one_triangle(maxh, width_pad, rec_ref, fb_ref, t,
+                          rowi, coli, rowf, colf)
 
     pl.when(any_live)(_block)
 
 
-def _one_triangle(maxh: int, width_pad: int, rec_ref, fb_ref, t):
+def _one_triangle(maxh: int, width_pad: int, rec_ref, fb_ref, t,
+                  rowi, coli, rowf, colf):
+    """Rasterize record t into its bbox's aligned (maxh+8, 128) window(s).
+
+    All per-triangle invariants are folded to SCALARS (SMEM reads + scalar
+    ALU): edge functions restate as e = DX*row - DY*col + C with row/col
+    the static window iotas — every term is an exact multiple of 1/256
+    well below 2^24, so e is the exact mathematical edge value and
+    coverage stays bit-identical to the XLA path (coverage._fragments).
+    inv_area is pre-multiplied into the barycentric attribute coefficients
+    and the 1/w divide cancels against the normal's own normalization
+    (see coverage._fragments — the two fragment pipelines are kept in
+    op-for-op lockstep).
+
+    A bbox of width <= 128 spans at most two aligned lane blocks; the
+    second window pass runs only for the (~10% at 1080p) straddling
+    triangles, under a scalar predicate — the common case does half the
+    vector work of the old fixed 256-lane window."""
     f = _F32
     live = rec_ref[t, 26] > 0.5
     x0, x1, x2 = rec_ref[t, 0], rec_ref[t, 1], rec_ref[t, 2]
     y0, y1, y2 = rec_ref[t, 3], rec_ref[t, 4], rec_ref[t, 5]
-    z0, z1, z2 = rec_ref[t, 6], rec_ref[t, 7], rec_ref[t, 8]
-    w0, w1, w2 = rec_ref[t, 9], rec_ref[t, 10], rec_ref[t, 11]
-    inv_area = rec_ref[t, 21]
+    ia = rec_ref[t, 21]
     px0 = rec_ref[t, 22].astype(_I32)
     py0 = rec_ref[t, 23].astype(_I32)
     px1 = rec_ref[t, 24].astype(_I32)
     py1 = rec_ref[t, 25].astype(_I32)
 
-    # aligned window origins: expressed as (clamped block index) * size
-    # so Mosaic can statically prove sublane/lane divisibility
     winh = maxh + 8
     hp = fb_ref.shape[0]
-    px0a = jnp.clip(px0 // 128, 0, (width_pad - WIN_W) // 128) * 128
     py0c = jnp.clip(py0 // 8, 0, (hp - winh) // 8) * 8
-
-    ry = jax.lax.broadcasted_iota(_I32, (winh, WIN_W), 0) + py0c
-    rx = jax.lax.broadcasted_iota(_I32, (winh, WIN_W), 1) + px0a
-    pcx = rx.astype(f) + f(0.5)
-    pcy = ry.astype(f) + f(0.5)
+    blk0 = jnp.clip(px0 // 128, 0, (width_pad - WIN_W) // 128)
 
     fs = f(cov.FRONT_SIGN)
+    # scalar edge coefficients + bbox-min-relative constants, computed in
+    # the same op order as coverage._fragments (bit-parity)
+    ox = px0.astype(f) + f(0.5)
+    oy = py0.astype(f) + f(0.5)
 
-    def edge(xa, ya, xb, yb):
-        e = ((xb - xa) * (pcy - ya) - (yb - ya) * (pcx - xa)) * fs
-        dx = (xb - xa) * fs
-        dy = (yb - ya) * fs
-        topleft = (dy < f(0.0)) | ((dy == f(0.0)) & (dx > f(0.0)))
-        return e, (e > f(0.0)) | ((e == f(0.0)) & topleft)
+    def edge_consts(xa, ya, xb, yb):
+        DX = (xb - xa) * fs
+        DY = (yb - ya) * fs
+        c = DX * (oy - ya) - DY * (ox - xa)
+        tl = (DY < f(0.0)) | ((DY == f(0.0)) & (DX > f(0.0)))
+        return DX, DY, c, tl
 
-    e0, a0 = edge(x1, y1, x2, y2)
-    e1, a1 = edge(x2, y2, x0, y0)
-    e2, a2 = edge(x0, y0, x1, y1)
-    inside = a0 & a1 & a2
+    ec0 = edge_consts(x1, y1, x2, y2)              # opposite vertex 0
+    ec1 = edge_consts(x2, y2, x0, y0)
+    ec2 = edge_consts(x0, y0, x1, y1)
 
-    l0 = e0 * inv_area
-    l1 = e1 * inv_area
-    l2 = e2 * inv_area
-    z = l0 * z0 + l1 * z1 + l2 * z2
-    iw = l0 * w0 + l1 * w1 + l2 * w2
-    iw_safe = jnp.where(iw > f(0.0), iw, f(1.0))
-    nx = (l0 * rec_ref[t, 12] + l1 * rec_ref[t, 15]
-          + l2 * rec_ref[t, 18]) / iw_safe
-    ny = (l0 * rec_ref[t, 13] + l1 * rec_ref[t, 16]
-          + l2 * rec_ref[t, 19]) / iw_safe
-    nz = (l0 * rec_ref[t, 14] + l1 * rec_ref[t, 17]
-          + l2 * rec_ref[t, 20]) / iw_safe
-    nlen = jnp.sqrt(nx * nx + ny * ny + nz * nz)
-    ndl = (nx * f(cov._LIGHT[0]) + ny * f(cov._LIGHT[1])
-           + nz * f(cov._LIGHT[2])) / jnp.where(nlen > f(0.0), nlen,
-                                                f(1.0))
-    shade = jnp.sqrt(f(0.001) + jnp.maximum(f(0.0), ndl))
+    # barycentric attribute coefficients with inv_area folded in (scalar)
+    cz0, cz1, cz2 = rec_ref[t, 6] * ia, rec_ref[t, 7] * ia, \
+        rec_ref[t, 8] * ia
+    cw0, cw1, cw2 = rec_ref[t, 9] * ia, rec_ref[t, 10] * ia, \
+        rec_ref[t, 11] * ia
+    cnx0, cnx1, cnx2 = rec_ref[t, 12] * ia, rec_ref[t, 15] * ia, \
+        rec_ref[t, 18] * ia
+    cny0, cny1, cny2 = rec_ref[t, 13] * ia, rec_ref[t, 16] * ia, \
+        rec_ref[t, 19] * ia
+    cnz0, cnz1, cnz2 = rec_ref[t, 14] * ia, rec_ref[t, 17] * ia, \
+        rec_ref[t, 20] * ia
 
-    in_box = ((rx >= px0) & (rx <= px1) & (ry >= py0) & (ry <= py1))
-    ok = live & inside & in_box & (z >= f(-1.0)) & (iw > f(0.0))
+    r_lo, r_hi = py0 - py0c, py1 - py0c
 
-    zq = jnp.clip((z * f(0.5) + f(0.5)) * f(2**_DEPTH_BITS - 1),
-                  0, 2**_DEPTH_BITS - 1).astype(_I32)
-    sq = jnp.clip(shade * f(2**_SHADE_BITS - 1),
-                  0, 2**_SHADE_BITS - 1).astype(_I32)
-    packed = jnp.where(ok, (zq << _SHADE_BITS) | sq, _EMPTY)
+    def window(blk):
+        px0a = blk * 128
+        # window pixel deltas from the bbox-min pixel center: exact
+        # integer-valued f32, identical to _fragments' (pc - o) values
+        rx = colf - (px0 - px0a).astype(f)
+        ry = rowf - (py0 - py0c).astype(f)
 
-    old = fb_ref[pl.ds(py0c, winh), pl.ds(px0a, WIN_W)]
-    fb_ref[pl.ds(py0c, winh), pl.ds(px0a, WIN_W)] = \
-        jnp.minimum(old, packed)
+        def edge(DX, DY, c, tl):
+            e = (DX * ry - DY * rx) + c
+            return e, (e > f(0.0)) | ((e == f(0.0)) & tl)
+
+        e0, a0 = edge(*ec0)
+        e1, a1 = edge(*ec1)
+        e2, a2 = edge(*ec2)
+        inside = a0 & a1 & a2
+
+        z = (e0 * cz0 + e1 * cz1) + e2 * cz2
+        iw = (e0 * cw0 + e1 * cw1) + e2 * cw2
+        nx = (e0 * cnx0 + e1 * cnx1) + e2 * cnx2
+        ny = (e0 * cny0 + e1 * cny1) + e2 * cny2
+        nz = (e0 * cnz0 + e1 * cnz1) + e2 * cnz2
+        nlen = jnp.sqrt((nx * nx + ny * ny) + nz * nz)
+        ndl = (ny * f(cov._LIGHT[1])
+               + nz * f(cov._LIGHT[2])) / jnp.where(nlen > f(0.0), nlen,
+                                                    f(1.0))
+        shade = jnp.sqrt(f(0.001) + jnp.maximum(f(0.0), ndl))
+
+        in_box = ((coli >= px0 - px0a) & (coli <= px1 - px0a)
+                  & (rowi >= r_lo) & (rowi <= r_hi))
+        ok = live & inside & in_box & (z >= f(-1.0)) & (iw > f(0.0))
+
+        zq = jnp.clip((z * f(0.5) + f(0.5)) * f(2**_DEPTH_BITS - 1),
+                      0, 2**_DEPTH_BITS - 2).astype(_I32)
+        sq = jnp.clip(shade * f(2**_SHADE_BITS - 1),
+                      0, 2**_SHADE_BITS - 1).astype(_I32)
+        packed = jnp.where(ok, (zq << _SHADE_BITS) | sq, _EMPTY)
+
+        old = fb_ref[pl.ds(py0c, winh), pl.ds(px0a, WIN_W)]
+        fb_ref[pl.ds(py0c, winh), pl.ds(px0a, WIN_W)] = \
+            jnp.minimum(old, packed)
+
+    window(blk0)
+    straddle = live & (px1 > blk0 * 128 + 127)
+    blk1 = jnp.minimum(blk0 + 1, (width_pad - WIN_W) // 128)
+    pl.when(straddle)(lambda: window(blk1))
 
 
 REC_SPACE = pltpu.SMEM       # triangle records: scalar reads come from SMEM
@@ -161,6 +209,10 @@ REC_SPACE = pltpu.SMEM       # triangle records: scalar reads come from SMEM
 def _run_class(records, fb, *, maxh, cap, width_pad, height_pad,
                interpret=False):
     """records (cap, 32) f32 -> fb' with all class triangles min-merged."""
+    if cap % TRI_BLOCK:
+        raise ValueError(
+            f"class cap {cap} must be a multiple of TRI_BLOCK={TRI_BLOCK} "
+            "(the grid would silently drop the trailing records)")
     kernel = functools.partial(_raster_class_kernel, maxh, width_pad)
     return pl.pallas_call(
         kernel,
