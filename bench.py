@@ -148,28 +148,20 @@ def bench_texels(cfg):
 
 
 def bench_frame_2048(cfg):
-    """p50 frame-step ms: 6x2048^2 regen + normals + shade, one program."""
+    """p50 frame-step ms: 6x2048^2 regen + normals + shade, one program
+    (the fused field kernel on TPU: ops/kernels/field_pallas.py)."""
     import jax
     import jax.numpy as jnp
 
     from planet_tpu.models import heightfield
-    from planet_tpu.parallel import facemesh
-    from planet_tpu.raster import shade as shade_mod
 
     on_tpu = jax.default_backend() == "tpu"
     n = 2048 if on_tpu else 128
-    xyscale = (np.pi / 2) * cfg.radius / n
 
     def frame(tick):
-        px, py, pz = facemesh.face_grid_points_df(n, cfg.radius)
-        h = heightfield.heights_df(px, py, pz, kind="ridged", octaves=6,
-                                   use_pallas=on_tpu)
+        h, sh = heightfield.frame_cube(n, cfg.radius, kind="ridged",
+                                       octaves=6, use_pallas=on_tpu)
         h = h + tick * jnp.float32(0.0)          # keep a live input
-        h_rows = jnp.concatenate([h[:, :1], h, h[:, -1:]], axis=1)
-        h_pad = jnp.concatenate(
-            [h_rows[:, :, :1], h_rows, h_rows[:, :, -1:]], axis=2)
-        normal = heightfield.normals_from_heights(h_pad, xyscale)
-        sh = shade_mod.lambert(normal)
         # scalar checksum: proves full execution with a 4-byte fetch
         return jnp.sum(h, dtype=jnp.float32) + jnp.sum(sh,
                                                        dtype=jnp.float32)

@@ -68,6 +68,42 @@ def normals_from_heights(h_pad: jnp.ndarray, xyscale) -> jnp.ndarray:
     return n / jnp.sqrt(jnp.sum(n * n, axis=-1, keepdims=True))
 
 
+def frame_cube(n: int, radius: float, *, kind="ridged", octaves=6,
+               lacunarity=2.0, gain=0.55, coord_scale=0.00001,
+               amplitude=8848.0, use_pallas=True, interpret=None,
+               block_rows=None):
+    """The full-cube frame step (BASELINE config 2): heights + Lambert shade
+    for all six n x n faces, (6, n, n) each.
+
+    use_pallas=True runs the one-kernel fused path
+    (ops.kernels.field_pallas: in-kernel iota coordinates, noise, halo
+    recompute, normals, shade — nothing but the two outputs touches HBM).
+    use_pallas=False composes the same frame from the XLA pieces
+    (face_grid_points_df -> heights_df -> edge-padded central-difference
+    normals -> lambert), the spec the fused kernel is tested against."""
+    from planet_tpu.ops.kernels import field_pallas
+
+    xyscale = (np.pi / 2) * float(radius) / n
+    if use_pallas:
+        kw = {} if block_rows is None else {"block_rows": block_rows}
+        return field_pallas.field_cube(
+            n, radius, kind=kind, octaves=octaves, lacunarity=lacunarity,
+            gain=gain, coord_scale=coord_scale, amplitude=amplitude,
+            xyscale=xyscale, interpret=interpret, **kw)
+    from planet_tpu.parallel import facemesh
+
+    px, py, pz = facemesh.face_grid_points_df(n, radius)
+    h = heights_df(px, py, pz, kind=kind, octaves=octaves,
+                   lacunarity=lacunarity, gain=gain,
+                   coord_scale=coord_scale, amplitude=amplitude,
+                   use_pallas=False)
+    h_rows = jnp.concatenate([h[:, :1], h, h[:, -1:]], axis=1)
+    h_pad = jnp.concatenate([h_rows[:, :, :1], h_rows, h_rows[:, :, -1:]],
+                            axis=2)
+    normal = normals_from_heights(h_pad, xyscale)
+    return h, shade_mod.lambert(normal)
+
+
 def field_from_padded_points(px, py, pz, xyscale, **noise_kw) -> FieldOutput:
     """Points include a 1-texel halo ring; heights are computed for the full
     padded grid locally (the reference's overscan strategy) and outputs

@@ -322,7 +322,7 @@ def floor_split_ref(a: DF):
 
 _M24 = np.int32(2**24 - 1)
 _P24 = np.float32(2.0**-24)
-_P48 = np.float32(2.0**-48)
+
 
 
 def int24_parts(a: DF):
@@ -351,15 +351,20 @@ def int24_parts(a: DF):
 
 def shift_split24(cell, hi24, lo24, o: int):
     """Octave-o cell/frac split from octave 0's int24 parts, by static
-    shifts (o in [0, 24)). Returns (cell_o int32, frac f32, frac-1 f32);
-    both f32 values round ONCE from the exact 48-bit fraction, matching
-    frac_m1's single-rounding contract."""
+    shifts (o in [0, 24)). Returns (cell_o int32, frac f32, frac-1 f32).
+
+    The fraction is truncated to the 24-bit window hi_o (bits o..o+24 of
+    the exact 48-bit fraction): frac error < 2^-24, which propagates to a
+    noise-value error < ~1e-6 — far inside the 1e-5 oracle-parity bar —
+    while making ``frac - 1`` an EXACT single f32 subtract (hi_o < 2^24,
+    so (hi_o - 2^24)·2^-24 is representable), which removes the lo-residue
+    reconstruction (4 VPU ops/axis/octave) from the hottest loop. Mirrored
+    in-kernel by ops.kernels.perlin_pallas._shift_split24 — keep the op
+    sequence in lockstep; XLA/Pallas bit-identity depends on it."""
     o = int(o)
     assert 0 <= o < 24, o
     cell_o = (cell << o) + (hi24 >> (24 - o)) if o else cell
     hi_o = ((hi24 << o) | (lo24 >> (24 - o))) & _M24 if o else hi24
-    lo_o = (lo24 << o) & _M24 if o else lo24
-    lo_f = lo_o.astype(jnp.float32) * _P48
-    fh = hi_o.astype(jnp.float32) * _P24 + lo_f
-    fm1 = (hi_o - np.int32(2**24)).astype(jnp.float32) * _P24 + lo_f
+    fh = hi_o.astype(jnp.float32) * _P24
+    fm1 = fh - np.float32(1.0)
     return cell_o, fh, fm1

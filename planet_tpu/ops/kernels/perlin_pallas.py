@@ -161,7 +161,7 @@ def _floor_split(hi, lo):
 
 _M24 = np.int32(2**24 - 1)
 _P24 = np.float32(2.0**-24)
-_P48 = np.float32(2.0**-48)
+
 
 
 def _int24_parts(hi, lo):
@@ -186,14 +186,14 @@ def _shift_split24(cell, hi24, lo24, o: int):
     """Octave-o (cell, frac, frac-1) by static shifts of octave 0's int24
     parts — nums.df.shift_split24 restated in-kernel. All octaves derive
     from octave 0 independently: no cross-octave dependency chain (the
-    double-float double_mod1 chain this replaces was 63% of kernel time)."""
+    double-float double_mod1 chain this replaces was 63% of kernel time).
+    The fraction is the 24-bit hi window (truncation < 2^-24, inside the
+    oracle bar — see nums.df.shift_split24), so frac-1 is one exact sub."""
     o = int(o)
     cell_o = (cell << o) + (hi24 >> (24 - o)) if o else cell
     hi_o = ((hi24 << o) | (lo24 >> (24 - o))) & _M24 if o else hi24
-    lo_o = (lo24 << o) & _M24 if o else lo24
-    lo_f = lo_o.astype(_F32) * _P48
-    fh = hi_o.astype(_F32) * _P24 + lo_f
-    fm1 = (hi_o - np.int32(2**24)).astype(_F32) * _P24 + lo_f
+    fh = hi_o.astype(_F32) * _P24
+    fm1 = fh - np.float32(1.0)
     return cell_o, fh, fm1
 
 
@@ -211,19 +211,21 @@ def _noise3_core(ct, pt, cx, fx, fxm1, cy, fy, fym1, cz, fz, fzm1):
     codes. 7 gathers total."""
     u, v, w = _fade(fx), _fade(fy), _fade(fz)
 
+    # No &255 masks on the chained indices: _lookup_pair only consumes bits
+    # 0..7 of its index (gather at idx&127, half-select from bit 7), and
+    # addition carries propagate upward only, so junk above bit 7 of the
+    # unmasked pair word cannot reach the bits that matter. Each dropped
+    # mask is one VPU op per gather in the hottest loop.
     pa = _lookup_pair(ct, cx)
-    a0 = pa & 255
-    a1 = pa >> 8
-    pb0 = _lookup_pair(ct, a0 + cy)
-    pb1 = _lookup_pair(ct, a1 + cy)
+    pb0 = _lookup_pair(ct, pa + cy)
+    pb1 = _lookup_pair(ct, (pa >> 8) + cy)
 
     one = np.float32(1.0)
 
     def grad2(pb_shift, gx, gy):
         # corner column (dx, dy) fixed by b = t[a+iy(+1)]; returns the dz=0
         # (frac fz) and dz=1 (frac fzm1) gradient dots.
-        b = pb_shift & 255
-        s2 = _lookup_pair(pt, b + cz)
+        s2 = _lookup_pair(pt, pb_shift + cz)
         def dot(s, gz):
             sx = (s & 3).astype(_F32) - one
             sy = ((s >> 2) & 3).astype(_F32) - one
