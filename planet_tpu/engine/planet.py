@@ -119,16 +119,19 @@ def _raster_fn(width: int, height: int, supersample: int, wireframe: bool,
     """fn(clip, vshade, normal, valid, world, snormal) -> (image, depth).
 
     mode="exact": exact triangle coverage (raster/coverage.py; screen-space
-    winding cull = the reference's GL_CW front-face cull, main.cpp:811-816).
-    mode="splat" (and any wireframe render): depth-tested vertex splats."""
-    if mode == "exact" and not wireframe:
+    winding cull = the reference's GL_CW front-face cull, main.cpp:811-816);
+    wireframe (key P, main.cpp:980-985) keeps the exact rasterizer and
+    selects the edge-distance fragments in the same fragment engines.
+    mode="splat": depth-tested vertex splats (wireframe via cell edges)."""
+    if mode == "exact":
         from planet_tpu.raster import coverage_pallas
 
         cmask = mesh.cell_triangle_mask()
 
         def fn(clip, vshade, normal, valid, world, snormal):
             image, depthbuf, _ = coverage_pallas.raster_frame_auto(
-                clip, normal, valid, width, height, cell_mask=cmask)
+                clip, normal, valid, width, height, cell_mask=cmask,
+                wireframe=wireframe)
             return image, depthbuf
 
         return jax.jit(fn)

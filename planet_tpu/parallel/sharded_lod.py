@@ -98,13 +98,14 @@ def build_sharded_render(cfg: EngineConfig, mesh: Mesh, width: int,
                          gen_cap: int = 256, max_lod: int = None,
                          probe: str = "ridged6", interpret: bool = None):
     """Returns (roots, jitted fn(pools, cam_hi, cam_lo, view_proj, *roots)
-    -> (pools', DeviceFrame, (leaf_lo, leaf_hi, leaf_counts))).
+    -> (pools', DeviceFrame, (leaf_lo, leaf_hi, leaf_counts, gen_counts))).
 
     pools from init_pools(n, cfg.cache_capacity, cfg.tile_dim); roots from
     subtree_roots(cfg.radius). The returned leaf arrays are the per-chip
-    DFS-ordered rendered leaf ids ((n*render_cap,) words + (n,) counts) for
-    seam/equivalence auditing; DeviceFrame holds the composited image and
-    psum'd stats. Caps (cap/render_cap/gen_cap/budget) are PER CHIP.
+    DFS-ordered rendered leaf ids ((n*render_cap,) words + (n,) counts,
+    plus the per-chip tile-generation counts) for seam/equivalence and
+    budget auditing; DeviceFrame holds the composited image and psum'd
+    stats. Caps (cap/render_cap/gen_cap/budget) are PER CHIP.
     """
     n = mesh.shape[axis]
     if N_SUBTREES % n != 0:
@@ -128,7 +129,7 @@ def build_sharded_render(cfg: EngineConfig, mesh: Mesh, width: int,
             n_generated=lax.psum(n_gen, axis),
             overflowed=lax.psum(overflowed.astype(_I32), axis) > 0)
         pool = local._replace(now=local.now[None])
-        return pool, frame, (q_lo, q_hi, n_leaves[None])
+        return pool, frame, (q_lo, q_hi, n_leaves[None], n_gen[None])
 
     pool_spec = dp.PoolState(
         keys_lo=P(axis), keys_hi=P(axis), tick=P(axis),
@@ -141,6 +142,7 @@ def build_sharded_render(cfg: EngineConfig, mesh: Mesh, width: int,
         in_specs=(pool_spec, P(), P(), P(None, None),
                   P(axis), P(axis), P(axis, None, None),
                   P(axis, None, None), P(axis)),
-        out_specs=(pool_spec, frame_spec, (P(axis), P(axis), P(axis))),
+        out_specs=(pool_spec, frame_spec,
+                   (P(axis), P(axis), P(axis), P(axis))),
         check_vma=False)
     return jax.jit(mapped, donate_argnums=0)

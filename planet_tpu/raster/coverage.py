@@ -180,12 +180,16 @@ def _setup(clip, normal, valid, width: int, height: int,
                  px0=px0c, py0=py0c, px1=px1c, py1=py1c, live=live)
 
 
-def _fragments(t: _Tris, live, px, py, width: int, height: int):
+def _fragments(t: _Tris, live, px, py, width: int, height: int,
+               wireframe: bool = False):
     """Evaluate coverage + attributes at integer pixel candidates.
 
     t fields broadcast against px/py of shape t.x.shape[:-1] + (K,);
     returns (idx, packed) flattened, with rejects routed to the dump slot
-    width*height.
+    width*height. wireframe=True keeps only covered pixels within half a
+    pixel (perpendicular distance) of a triangle edge — the glPolygonMode
+    LINE analogue (key P, main.cpp:980-985) on the same exact-coverage,
+    depth-tested, perspective-shaded fragments.
     """
     pcx = px.astype(_F32) + np.float32(0.5)
     pcy = py.astype(_F32) + np.float32(0.5)
@@ -211,12 +215,24 @@ def _fragments(t: _Tris, live, px, py, width: int, height: int):
         c = DX * (oy - ya) - DY * (ox - xa)
         e = (DX * ry - DY * rx) + c
         topleft = (DY < 0.0) | ((DY == 0.0) & (DX > 0.0))
-        return e, (e > 0.0) | ((e == 0.0) & topleft)
+        return e, (e > 0.0) | ((e == 0.0) & topleft), DX, DY
 
-    e0, a0 = edge(x[1], y[1], x[2], y[2])          # opposite vertex 0
-    e1, a1 = edge(x[2], y[2], x[0], y[0])
-    e2, a2 = edge(x[0], y[0], x[1], y[1])
+    e0, a0, dx0, dy0 = edge(x[1], y[1], x[2], y[2])   # opposite vertex 0
+    e1, a1, dx1, dy1 = edge(x[2], y[2], x[0], y[0])
+    e2, a2, dx2, dy2 = edge(x[0], y[0], x[1], y[1])
     inside = a0 & a1 & a2
+    if wireframe:
+        # a covered pixel is on the wire iff its perpendicular distance to
+        # some edge is <= 0.5 px (GL 1-px line width): dist = e/|D| with e
+        # the orientation-normalized edge value (>= 0 inside), so test
+        # (2e)^2 <= |D|^2 — square-free of rsqrt, and the op sequence is
+        # mirrored verbatim in the Pallas engine for bit-parity
+        def on_edge(e, DX, DY):
+            e2 = e + e
+            return e2 * e2 <= DX * DX + DY * DY
+
+        inside = inside & (on_edge(e0, dx0, dy0) | on_edge(e1, dx1, dy1)
+                           | on_edge(e2, dx2, dy2))
 
     # Barycentric attributes with inv_area folded into per-triangle
     # coefficients (one scalar mul per attribute instead of three full
@@ -313,7 +329,7 @@ def _gather_packed(m, idxs):
 
 
 def _row_job_pass(tt_m, job_idx, max_bh: int, win_w: int,
-                  width: int, height: int):
+                  width: int, height: int, wireframe: bool = False):
     """Evaluate one compacted row-job class: job j covers pixels
     (py0+row, px0 .. px0+win_w-1) of its triangle. job_idx indexes the
     (tri_cap * max_bh) flat job space; the pad index maps to a dead row."""
@@ -324,10 +340,11 @@ def _row_job_pass(tt_m, job_idx, max_bh: int, win_w: int,
     px = tj.px0[:, None] + jnp.arange(win_w, dtype=_I32)[None, :]
     live = tj.live & (row < (tj.py1 - tj.py0 + 1))
     return _fragments(tj, live, px, jnp.broadcast_to(py, px.shape),
-                      width, height)
+                      width, height, wireframe)
 
 
-def _huge_pass(buf, t: _Tris, width: int, height: int):
+def _huge_pass(buf, t: _Tris, width: int, height: int,
+               wireframe: bool = False):
     """Sequential full-screen raster of the (rare) huge triangles: scan over
     the compacted slots, each an elementwise coverage test + packed min over
     the whole framebuffer."""
@@ -340,7 +357,7 @@ def _huge_pass(buf, t: _Tris, width: int, height: int):
         one = jax.tree.map(
             lambda a: jax.lax.dynamic_slice_in_dim(a, ti, 1, axis=0), t)
         idx, packed = _fragments(one, one.live, px[None, :], py[None, :],
-                                 width, height)
+                                 width, height, wireframe)
         packed = jnp.where(idx < width * height, packed, _EMPTY)
         return jnp.minimum(buf, packed), None
 
@@ -381,7 +398,7 @@ def raster_frame(clip, normal, valid, width: int, height: int, *,
                  ladder=ROW_LADDER, tri_cap: int = TRI_CAP,
                  max_bh: int = MAX_BH, huge_cap: int = 16,
                  background: float = 0.0, cell_mask=None,
-                 decode: bool = True):
+                 decode: bool = True, wireframe: bool = False):
     """Rasterize a batch of tessellated patches with exact triangle coverage.
 
     Args:
@@ -422,7 +439,8 @@ def raster_frame(clip, normal, valid, width: int, height: int, *,
         in_class = (job_live & (jbw > prev) & (jbw <= win_w)).reshape(-1)
         prev = win_w
         jidx, n_cls = _compact_indices(in_class, cap)
-        frags.append(_row_job_pass(tt_m, jidx, max_bh, win_w, width, height))
+        frags.append(_row_job_pass(tt_m, jidx, max_bh, win_w, width, height,
+                                   wireframe))
         n_per_class.append(n_cls)
         overflowed = overflowed | (n_cls > cap)
 
@@ -441,7 +459,7 @@ def raster_frame(clip, normal, valid, width: int, height: int, *,
     overflowed = overflowed | (n_huge > huge_cap)
     buf = jax.lax.cond(
         n_huge > 0,
-        lambda b: _huge_pass(b, th, width, height),
+        lambda b: _huge_pass(b, th, width, height, wireframe),
         lambda b: b, buf)
 
     img_packed = buf.reshape(height, width)

@@ -56,8 +56,8 @@ DEFAULT_CAPS = (38912, 18432, 7168, 1024, 256)
 TRI_BLOCK = 16                   # triangles per grid step
 
 
-def _raster_class_kernel(maxh: int, width_pad: int, rec_ref, fb_in_ref,
-                         fb_ref):
+def _raster_class_kernel(maxh: int, width_pad: int, wireframe: bool,
+                         rec_ref, fb_in_ref, fb_ref):
     """One grid step: TRI_BLOCK triangles' (maxh+8, WIN_W) window updates.
 
     The framebuffer blocks use a constant index map, so both stay VMEM-
@@ -83,14 +83,14 @@ def _raster_class_kernel(maxh: int, width_pad: int, rec_ref, fb_in_ref,
 
     def _block():
         for t in range(TRI_BLOCK):
-            _one_triangle(maxh, width_pad, rec_ref, fb_ref, t,
+            _one_triangle(maxh, width_pad, wireframe, rec_ref, fb_ref, t,
                           rowi, coli, rowf, colf)
 
     pl.when(any_live)(_block)
 
 
-def _one_triangle(maxh: int, width_pad: int, rec_ref, fb_ref, t,
-                  rowi, coli, rowf, colf):
+def _one_triangle(maxh: int, width_pad: int, wireframe: bool, rec_ref,
+                  fb_ref, t, rowi, coli, rowf, colf):
     """Rasterize record t into its bbox's aligned (maxh+8, 128) window(s).
 
     All per-triangle invariants are folded to SCALARS (SMEM reads + scalar
@@ -168,6 +168,16 @@ def _one_triangle(maxh: int, width_pad: int, rec_ref, fb_ref, t,
         e1, a1 = edge(*ec1)
         e2, a2 = edge(*ec2)
         inside = a0 & a1 & a2
+        if wireframe:
+            # (2e)^2 <= |D|^2 edge-distance test, op-for-op the XLA
+            # path's coverage._fragments wireframe predicate (bit-parity)
+            def on_edge(e, DX, DY):
+                e2w = e + e
+                return e2w * e2w <= DX * DX + DY * DY
+
+            inside = inside & (on_edge(e0, ec0[0], ec0[1])
+                               | on_edge(e1, ec1[0], ec1[1])
+                               | on_edge(e2, ec2[0], ec2[1]))
 
         z = (e0 * cz0 + e1 * cz1) + e2 * cz2
         iw = (e0 * cw0 + e1 * cw1) + e2 * cw2
@@ -205,15 +215,16 @@ REC_SPACE = pltpu.SMEM       # triangle records: scalar reads come from SMEM
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "maxh", "cap", "width_pad", "height_pad", "interpret"))
+    "maxh", "cap", "width_pad", "height_pad", "interpret", "wireframe"))
 def _run_class(records, fb, *, maxh, cap, width_pad, height_pad,
-               interpret=False):
+               interpret=False, wireframe=False):
     """records (cap, 32) f32 -> fb' with all class triangles min-merged."""
     if cap % TRI_BLOCK:
         raise ValueError(
             f"class cap {cap} must be a multiple of TRI_BLOCK={TRI_BLOCK} "
             "(the grid would silently drop the trailing records)")
-    kernel = functools.partial(_raster_class_kernel, maxh, width_pad)
+    kernel = functools.partial(_raster_class_kernel, maxh, width_pad,
+                               wireframe)
     return pl.pallas_call(
         kernel,
         grid=(cap // TRI_BLOCK,),
@@ -233,23 +244,24 @@ def _run_class(records, fb, *, maxh, cap, width_pad, height_pad,
 
 def raster_frame_auto(clip, normal, valid, width: int, height: int, *,
                       cell_mask=None, background: float = 0.0,
-                      decode: bool = True):
+                      decode: bool = True, wireframe: bool = False):
     """Backend dispatch for the exact-coverage raster: the Pallas fragment
     engine on TPU, the XLA row-job path elsewhere (CPU tests/dryruns)."""
     if jax.default_backend() == "tpu":
         return raster_frame_pallas(clip, normal, valid, width, height,
                                    cell_mask=cell_mask,
-                                   background=background, decode=decode)
+                                   background=background, decode=decode,
+                                   wireframe=wireframe)
     return cov.raster_frame(clip, normal, valid, width, height,
                             cell_mask=cell_mask, background=background,
-                            decode=decode)
+                            decode=decode, wireframe=wireframe)
 
 
 def raster_frame_pallas(clip, normal, valid, width: int, height: int, *,
                         caps=DEFAULT_CAPS,
                         huge_cap: int = 16, background: float = 0.0,
                         cell_mask=None, interpret: bool = False,
-                        decode: bool = True):
+                        decode: bool = True, wireframe: bool = False):
     """Drop-in twin of coverage.raster_frame running the fragment path as
     Pallas window kernels. Returns (image, depth, RasterCounters), or
     (packed, counters) when decode=False."""
@@ -300,7 +312,8 @@ def raster_frame_pallas(clip, normal, valid, width: int, height: int, *,
         off = off + counts[c]
         recs = cov._gather_packed(tm, idxs)
         fb = _run_class(recs, fb, maxh=maxh, cap=cap, width_pad=width_pad,
-                        height_pad=height_pad, interpret=interpret)
+                        height_pad=height_pad, interpret=interpret,
+                        wireframe=wireframe)
         n_per_class.append(counts[c])
         overflowed = overflowed | (counts[c] > cap)
 
@@ -313,7 +326,7 @@ def raster_frame_pallas(clip, normal, valid, width: int, height: int, *,
     overflowed = overflowed | (n_huge > huge_cap)
     buf = jax.lax.cond(
         n_huge > 0,
-        lambda b: cov._huge_pass(b, th, width, height),
+        lambda b: cov._huge_pass(b, th, width, height, wireframe),
         lambda b: b, buf)
 
     img_packed = buf.reshape(height, width)

@@ -375,3 +375,89 @@ def test_smooth_sphere_silhouette():
     assert covered[outside].mean() < 0.001, covered[outside].mean()
     # lit upper hemisphere brighter than lower
     assert img[inside & (ndc_y > 0.3)].mean() > img[inside & (ndc_y < -0.3)].mean()
+
+
+def _tris_to_args(tris, width, height):
+    q = len(tris)
+    clip = np.zeros((q, 2, 2, 4), F)
+    normal = np.zeros((q, 2, 2, 3), F)
+    valid = np.ones((q, 2, 2), bool)
+    for i, t in enumerate(tris):
+        slots = {(0, 0): t[0], (1, 0): t[1], (0, 1): t[2], (1, 1): t[1]}
+        for (r, c), v in slots.items():
+            w = 1.0 / v["iw"]
+            ndc_x = (v["x"] / width - 0.5) * 2.0
+            ndc_y = (0.5 - v["y"] / height) * 2.0
+            clip[i, r, c] = [ndc_x * w, ndc_y * w, v["z"] * w, w]
+            normal[i, r, c] = v["n"]
+    return jnp.asarray(clip), jnp.asarray(normal), jnp.asarray(valid)
+
+
+def test_wireframe_exact_raster_edges_only():
+    """Wireframe (key P, main.cpp:980-985) on the EXACT rasterizer: kept
+    fragments are those within 0.5 px perpendicular distance of a triangle
+    edge — a subset of the solid frame under the same depth test, with
+    interiors dropped. Geometric check on one known triangle."""
+    width, height = 96, 96
+    nrm = np.array([0.0, 0.6, -0.8], F)          # lit
+    tri = [{"x": F(20.25), "y": F(20.25), "z": F(0.0), "iw": F(1.0),
+            "n": nrm},
+           {"x": F(20.25), "y": F(70.25), "z": F(0.0), "iw": F(1.0),
+            "n": nrm},
+           {"x": F(70.25), "y": F(20.25), "z": F(0.0), "iw": F(1.0),
+            "n": nrm}]
+    args = _tris_to_args([tri], width, height)
+    s_img, s_dep, _ = coverage.raster_frame(*args, width, height)
+    w_img, w_dep, _ = coverage.raster_frame(*args, width, height,
+                                            wireframe=True)
+    solid = np.isfinite(np.asarray(s_dep))
+    wire = np.isfinite(np.asarray(w_dep))
+    assert wire.sum() > 0
+    assert (solid | ~wire).all(), "wire fragments must be a coverage subset"
+    assert wire.sum() < solid.sum(), "interior fragments must drop"
+    # left leg x=20.25: pixel centers at x=20.5 are 0.25 px away -> wire
+    assert wire[35, 20] and solid[35, 20]
+    # one pixel inward (1.25 px) and the centroid: solid only
+    assert solid[35, 21] and not wire[35, 21]
+    assert solid[35, 35] and not wire[35, 35]
+    # wire pixels carry the same shade/depth the solid frame computed there
+    np.testing.assert_array_equal(np.asarray(w_img)[wire],
+                                  np.asarray(s_img)[wire])
+    np.testing.assert_array_equal(np.asarray(w_dep)[wire],
+                                  np.asarray(s_dep)[wire])
+
+
+def test_wireframe_depth_min_is_subset_min():
+    """Random scene: at every wire pixel the packed depth/shade key is >=
+    the solid frame's (a min over a fragment subset), and the Pallas
+    fragment engine reproduces the XLA wireframe bit-for-bit in coverage."""
+    from planet_tpu.raster import coverage_pallas
+
+    rng = np.random.default_rng(31)
+    width, height = 128, 96
+    tris = (rand_tris(rng, 40, width, height, span=8.0)
+            + rand_tris(rng, 6, width, height, span=40.0)
+            + rand_tris(rng, 2, width, height, span=200.0))   # huge class
+    args = _tris_to_args(tris, width, height)
+    s_img, s_dep, _ = coverage.raster_frame(*args, width, height)
+    w_img, w_dep, _ = coverage.raster_frame(*args, width, height,
+                                            wireframe=True)
+    s_pack = packed_from_images(np.asarray(s_img), np.asarray(s_dep))
+    w_pack = packed_from_images(np.asarray(w_img), np.asarray(w_dep))
+    wire = w_pack != _EMPTY
+    solid = s_pack != _EMPTY
+    assert wire.sum() > 0
+    assert (solid | ~wire).all()
+    # int32 packed keys are nonnegative (21+10 bits), so >= compares fine
+    assert (w_pack[wire] >= s_pack[wire]).all()
+
+    p_img, p_dep, p_cnt = coverage_pallas.raster_frame_pallas(
+        *args, width, height, interpret=True, wireframe=True)
+    p_pack = packed_from_images(np.asarray(p_img), np.asarray(p_dep))
+    cov_eq = (w_pack == _EMPTY) == (p_pack == _EMPTY)
+    assert cov_eq.mean() > 0.999, cov_eq.mean()
+    live = (w_pack != _EMPTY) & (p_pack != _EMPTY)
+    dz = np.abs((w_pack[live] >> _SHADE_BITS) - (p_pack[live] >> _SHADE_BITS))
+    ds = np.abs((w_pack[live] & 1023) - (p_pack[live] & 1023))
+    assert dz.max(initial=0) <= 1
+    assert ds.max(initial=0) <= 1

@@ -55,34 +55,41 @@ def test_subtree_roots_are_the_24_depth1_quads():
     np.testing.assert_allclose(r, CFG.radius, rtol=1e-8)
 
 
-def test_sharded_lod_matches_single_device():
-    n_dev = 8
+def _sharded_vs_single(probe, max_lod, n_dev=8, rc=64):
     mesh = sharded.make_mesh(n_dev, axis="quads")
     fn = sharded_lod.build_sharded_render(
-        CFG, mesh, W, H, cap=512, render_cap=64, gen_cap=64,
-        max_lod=MAX_LOD, probe="zero", interpret=True)
+        CFG, mesh, W, H, cap=512, render_cap=rc, gen_cap=rc,
+        max_lod=max_lod, probe=probe, interpret=True)
     roots = sharded_lod.subtree_roots(CFG.radius)
     pools = sharded_lod.init_pools(n_dev, CFG.cache_capacity, CFG.tile_dim)
     ch, cl, vp = _camera_args()
-    pools, frame, (llo, lhi, lcnt) = fn(pools, ch, cl, vp, *roots)
-    assert not bool(frame.overflowed)
+    pools, frame, leaves = fn(pools, ch, cl, vp, *roots)
 
     base = device_step.build_device_render(
         CFG, W, H, cap=4096, render_cap=512, gen_cap=512,
-        max_lod=MAX_LOD, probe="zero", interpret=True,
+        max_lod=max_lod, probe=probe, interpret=True,
         dynamic_roots=True, raster_out="packed")
     pool1 = dp.init(1024, CFG.tile_dim)
-    pool1, (packed, n1, ngen1, ovf1, qlo1, qhi1) = base(
-        pool1, ch, cl, vp, *roots)
+    pool1, single = base(pool1, ch, cl, vp, *roots)
+    return pools, frame, leaves, pool1, single
+
+
+def test_sharded_lod_matches_single_device():
+    n_dev, rc = 8, 64
+    pools, frame, (llo, lhi, lcnt, gcnt), pool1, single = _sharded_vs_single(
+        "zero", MAX_LOD, n_dev=n_dev, rc=rc)
+    assert not bool(frame.overflowed)
+    packed, n1, ngen1, ovf1, qlo1, qhi1 = single
     img1, dep1 = coverage.decode_packed(packed)
 
-    # stats: psum'd totals equal the single-device run
+    # stats: psum'd totals equal the single-device run, and the per-chip
+    # generation counts account for every generated tile
     assert int(frame.n_leaves) == int(n1)
     assert int(frame.n_generated) == int(ngen1)
+    assert int(np.asarray(gcnt).sum()) == int(ngen1)
 
     # leaf sets: the union of per-chip subtree leaves is the global set
     lcnt = np.asarray(lcnt)
-    rc = 64
     got = set()
     for i in range(n_dev):
         part = _leaf_ids(llo[i * rc:(i + 1) * rc],
@@ -108,6 +115,47 @@ def test_sharded_lod_matches_single_device():
     # one, so bound the decoded difference by one 21-bit quantum instead
     assert np.abs(dep_s[cov] - dep_1[cov]).max() <= 2.0 / (2**21 - 1)
     assert cov.any()
+
+
+def test_sharded_lod_matches_single_device_terrain():
+    """The composed sharded engine with the PRODUCTION terrain probes
+    (ridged6 DF noise in the split decisions, real ridged tiles in the
+    pools) composites bitwise the single-device frame — the probe +
+    per-chip-budget interaction the zero-probe test cannot see
+    (reference ProcessQuad probes, main.cpp:552-556)."""
+    n_dev, rc = 8, 64
+    pools, frame, (llo, lhi, lcnt, gcnt), pool1, single = _sharded_vs_single(
+        "ridged6", 3, n_dev=n_dev, rc=rc)
+    assert not bool(frame.overflowed)
+    packed, n1, ngen1, ovf1, qlo1, qhi1 = single
+    img1, dep1 = coverage.decode_packed(packed)
+
+    # real terrain flowed through the per-chip pools: generated tiles carry
+    # mountain-scale heights, and every chip that rendered leaves generated
+    lcnt, gcnt = np.asarray(lcnt), np.asarray(gcnt)
+    assert float(np.abs(np.asarray(pools.tiles)).max()) > 100.0
+    assert int(gcnt.sum()) == int(ngen1) > 0
+    np.testing.assert_array_equal(gcnt > 0, lcnt > 0)
+
+    assert int(frame.n_leaves) == int(n1)
+    got = set()
+    for i in range(n_dev):
+        part = _leaf_ids(llo[i * rc:(i + 1) * rc],
+                         lhi[i * rc:(i + 1) * rc], lcnt[i])
+        assert not (got & part), "subtree leaf sets must be disjoint"
+        got |= part
+    assert got == _leaf_ids(qlo1, qhi1, n1)
+
+    # composited packed frame == single-device frame (same requantize
+    # comparison as the zero-probe test; see the 1-ulp decode note there)
+    img_s, dep_s = np.asarray(frame.image), np.asarray(frame.depth)
+    img_1, dep_1 = np.asarray(img1), np.asarray(dep1)
+    np.testing.assert_array_equal(np.isfinite(dep_s), np.isfinite(dep_1))
+    np.testing.assert_array_equal(np.round(img_s * 1023).astype(np.int32),
+                                  np.round(img_1 * 1023).astype(np.int32))
+    cov = np.isfinite(dep_s)
+    assert cov.any()
+    assert np.abs(dep_s[cov] - dep_1[cov]).max() <= 2.0 / (2**21 - 1)
 
 
 def test_sharded_lod_second_frame_cache_hits():
