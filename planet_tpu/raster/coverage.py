@@ -328,6 +328,140 @@ def _gather_packed(m, idxs):
     return jnp.take(m, safe, axis=0)
 
 
+def _pack_tris_t(t: _Tris):
+    """Transposed twin of _pack_tris: (32, n + 1) with records as COLUMNS.
+
+    TPU gathers along the lane axis run ~10x faster than row gathers of
+    128-byte records (measured 0.03 vs 1.85 ms for a 38912-record class at
+    the 1080p LOD workload), so the Pallas engine packs column-major and
+    gathers with take(axis=1)."""
+    n = t.live.shape[0]
+    rows = [t.x.T, t.y.T, t.z.T, t.iw.T,               # 12
+            t.niw.reshape(n, 9).T,                     # 21
+            t.inv_area[None, :],                       # 22
+            t.px0[None, :].astype(_F32), t.py0[None, :].astype(_F32),
+            t.px1[None, :].astype(_F32), t.py1[None, :].astype(_F32),  # 26
+            t.live[None, :].astype(_F32)]              # 27
+    m = jnp.concatenate([r.astype(_F32) for r in rows], axis=0)
+    m = jnp.pad(m, ((0, _REC_COLS - m.shape[0]), (0, 1)))
+    return m                                           # (32, n + 1)
+
+
+def _setup_t(clip, normal, valid, width: int, height: int, cell_mask=None):
+    """Fused SoA twin of _setup + _pack_tris_t for the Pallas engine.
+
+    _setup materializes (N, 3) / (N, 3, 3) per-triangle arrays whose tiny
+    minor dims force tiled relayout copies (measured ~4.7 ms of the 1080p
+    frame); this variant keeps every field a flat (N,) lane-major array and
+    emits the (32, N + 1) record matrix directly. All arithmetic is the
+    same op sequence as _setup, so record values are bit-identical.
+
+    The candidate index space here is (parity, q, r, c) over the FULL
+    G x G grid flattened to lane-major (Q, G*G) rows — cells in the last
+    grid row/column are dead padding (masked in live), so N = 2*Q*G*G
+    (~6% more rows than _setup's exact cell count, for arrays whose minor
+    dim is a clean multiple of 128 throughout). Corner access is lane
+    rotation (jnp.roll), not slicing; the cyclic wrap only touches dead
+    cells. Candidate ORDER therefore differs from _setup — harmless, the
+    framebuffer min-composite is order-independent.
+
+    Returns (tm (32, N + 1), live (N,), bw (N,), bh (N,))."""
+    w4 = clip[..., 3]
+    ok_w = valid & (w4 > _W_MIN)
+    inv_w = jnp.where(ok_w, 1.0 / jnp.where(ok_w, w4, 1.0), 0.0)
+    sx = (clip[..., 0] * inv_w * 0.5 + 0.5) * np.float32(width)
+    sy = (0.5 - clip[..., 1] * inv_w * 0.5) * np.float32(height)
+    sx = jnp.round(sx * SNAP) * INV_SNAP
+    sy = jnp.round(sy * SNAP) * INV_SNAP
+    z = clip[..., 2] * inv_w
+    nxw = normal[..., 0] * inv_w
+    nyw = normal[..., 1] * inv_w
+    nzw = normal[..., 2] * inv_w
+
+    q, g = w4.shape[0], w4.shape[1]
+
+    def tri3(a):
+        """(Q, G, G) -> three (N,) vertex arrays, N = 2*Q*G*G, parity-major
+        candidate order (the _tri_corners cell/triangle rule)."""
+        a = a.reshape(q, g * g)
+        g00 = a
+        g10 = jnp.roll(a, -g, axis=1)
+        g01 = jnp.roll(a, -1, axis=1)
+        g11 = jnp.roll(g10, -1, axis=1)
+
+        def st(p0, p1):
+            return jnp.concatenate([p0, p1], axis=0).reshape(-1)
+
+        return st(g00, g01), st(g10, g10), st(g01, g11)
+
+    x0, x1, x2 = tri3(sx)
+    y0, y1, y2 = tri3(sy)
+    z0, z1, z2 = tri3(z)
+    w0, w1, w2 = tri3(inv_w)
+    nx0, nx1, nx2 = tri3(nxw)
+    ny0, ny1, ny2 = tri3(nyw)
+    nz0, nz1, nz2 = tri3(nzw)
+    o0, o1, o2 = tri3(ok_w)
+    tri_ok = o0 & o1 & o2
+    # cells in the last grid row/column are wrap padding, never real
+    cell_ok = np.zeros((g, g), bool)
+    cell_ok[:g - 1, :g - 1] = True
+    if cell_mask is not None:
+        # (2, G-1, G-1) static mask of drawn cell triangles, parity-major
+        cm = np.asarray(cell_mask)
+        full = np.zeros((2, g, g), bool)
+        full[:, :g - 1, :g - 1] = cm
+        full = full & cell_ok[None]
+        tri_ok = tri_ok & jnp.asarray(
+            np.broadcast_to(full[:, None], (2, q, g, g)).reshape(-1))
+    else:
+        tri_ok = tri_ok & jnp.asarray(
+            np.broadcast_to(cell_ok[None, None], (2, q, g, g)).reshape(-1))
+
+    area2 = ((x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)) * FRONT_SIGN
+    front = area2 > 0.0
+
+    min_x = jnp.minimum(jnp.minimum(x0, x1), x2)
+    max_x = jnp.maximum(jnp.maximum(x0, x1), x2)
+    min_y = jnp.minimum(jnp.minimum(y0, y1), y2)
+    max_y = jnp.maximum(jnp.maximum(y0, y1), y2)
+    px0 = jnp.ceil(min_x - 0.5).astype(_I32)
+    px1 = jnp.floor(max_x - 0.5).astype(_I32)
+    py0 = jnp.ceil(min_y - 0.5).astype(_I32)
+    py1 = jnp.floor(max_y - 0.5).astype(_I32)
+    px0c = jnp.maximum(px0, 0)
+    py0c = jnp.maximum(py0, 0)
+    px1c = jnp.minimum(px1, width - 1)
+    py1c = jnp.minimum(py1, height - 1)
+    nonempty = (px0c <= px1c) & (py0c <= py1c)
+
+    live = tri_ok & front & nonempty
+    inv_area = jnp.where(live, 1.0 / jnp.where(live, area2, 1.0), 0.0)
+
+    rows = [x0, x1, x2, y0, y1, y2, z0, z1, z2, w0, w1, w2,
+            nx0, ny0, nz0, nx1, ny1, nz1, nx2, ny2, nz2,    # niw v-major
+            inv_area,
+            px0c.astype(_F32), py0c.astype(_F32),
+            px1c.astype(_F32), py1c.astype(_F32),
+            live.astype(_F32)]
+    tm = jnp.concatenate([r[None, :].astype(_F32) for r in rows], axis=0)
+    tm = jnp.pad(tm, ((0, _REC_COLS - tm.shape[0]), (0, 1)))
+    return tm, live, px1c - px0c + 1, py1c - py0c + 1
+
+
+def _gather_packed_t(mt, idxs):
+    """Column-gather of transposed records -> (len(idxs), 32) row records
+    (same values as _gather_packed; the pad index hits the zero column).
+
+    The optimization barrier stops XLA from fusing the transpose INTO the
+    gather — fused, it re-emits the slow row-gather this layout exists to
+    avoid (trace: 1.9 ms vs 0.03 + 0.2 ms split for a 38912-record class)."""
+    n = mt.shape[1] - 1
+    safe = jnp.minimum(idxs, n)
+    g = jax.lax.optimization_barrier(jnp.take(mt, safe, axis=1))
+    return g.T
+
+
 def _row_job_pass(tt_m, job_idx, max_bh: int, win_w: int,
                   width: int, height: int, wireframe: bool = False):
     """Evaluate one compacted row-job class: job j covers pixels

@@ -210,6 +210,151 @@ def _one_triangle(maxh: int, width_pad: int, wireframe: bool, rec_ref,
     pl.when(straddle)(lambda: window(blk1))
 
 
+def _huge_class_kernel(width_pad: int, height_pad: int, wireframe: bool,
+                       rec_ref, fb_in_ref, fb_ref):
+    """One grid step: ONE huge triangle (bbox taller than the height ladder
+    or wider than 128 px) rasterized over exactly its bbox's aligned
+    (32, 128) tiles, via two scalar-bounded fori_loops. Replaces the XLA
+    full-screen scan (coverage._huge_pass), which paid the whole 1080p
+    framebuffer per slot (~4 ms/frame whenever a huge triangle was live —
+    and the standard 20 km camera has ~12, horizon-grazing silhouettes).
+    Work here is proportional to bbox area; the fragment math is the same
+    op sequence as _one_triangle (bit-parity with coverage._fragments)."""
+
+    @pl.when(pl.program_id(0) == 0)
+    def _seed():
+        fb_ref[:, :] = fb_in_ref[:, :]
+
+    f = _F32
+    t = pl.program_id(0)          # records block = the full (cap, 32)
+    live = rec_ref[t, 26] > 0.5
+    x0, x1, x2 = rec_ref[t, 0], rec_ref[t, 1], rec_ref[t, 2]
+    y0, y1, y2 = rec_ref[t, 3], rec_ref[t, 4], rec_ref[t, 5]
+    ia = rec_ref[t, 21]
+    px0 = rec_ref[t, 22].astype(_I32)
+    py0 = rec_ref[t, 23].astype(_I32)
+    px1 = rec_ref[t, 24].astype(_I32)
+    py1 = rec_ref[t, 25].astype(_I32)
+
+    fs = f(cov.FRONT_SIGN)
+    ox = px0.astype(f) + f(0.5)
+    oy = py0.astype(f) + f(0.5)
+
+    def edge_consts(xa, ya, xb, yb):
+        DX = (xb - xa) * fs
+        DY = (yb - ya) * fs
+        c = DX * (oy - ya) - DY * (ox - xa)
+        tl = (DY < f(0.0)) | ((DY == f(0.0)) & (DX > f(0.0)))
+        return DX, DY, c, tl
+
+    ec0 = edge_consts(x1, y1, x2, y2)              # opposite vertex 0
+    ec1 = edge_consts(x2, y2, x0, y0)
+    ec2 = edge_consts(x0, y0, x1, y1)
+
+    cz0, cz1, cz2 = rec_ref[t, 6] * ia, rec_ref[t, 7] * ia, \
+        rec_ref[t, 8] * ia
+    cw0, cw1, cw2 = rec_ref[t, 9] * ia, rec_ref[t, 10] * ia, \
+        rec_ref[t, 11] * ia
+    cnx0, cnx1, cnx2 = rec_ref[t, 12] * ia, rec_ref[t, 15] * ia, \
+        rec_ref[t, 18] * ia
+    cny0, cny1, cny2 = rec_ref[t, 13] * ia, rec_ref[t, 16] * ia, \
+        rec_ref[t, 19] * ia
+    cnz0, cnz1, cnz2 = rec_ref[t, 14] * ia, rec_ref[t, 17] * ia, \
+        rec_ref[t, 20] * ia
+
+    STRIP = 32
+    rowi = jax.lax.broadcasted_iota(_I32, (STRIP, 128), 0)
+    coli = jax.lax.broadcasted_iota(_I32, (STRIP, 128), 1)
+    rowf = rowi.astype(f)
+    colf = coli.astype(f)
+
+    def do_block(bi, sy):
+        px0a = bi * 128
+        rx = colf - (px0 - px0a).astype(f)
+        ry = rowf - (py0 - sy).astype(f)
+
+        def edge(DX, DY, c, tl):
+            e = (DX * ry - DY * rx) + c
+            return e, (e > f(0.0)) | ((e == f(0.0)) & tl)
+
+        e0, a0 = edge(*ec0)
+        e1, a1 = edge(*ec1)
+        e2, a2 = edge(*ec2)
+        inside = a0 & a1 & a2
+        if wireframe:
+            def on_edge(e, DX, DY):
+                e2w = e + e
+                return e2w * e2w <= DX * DX + DY * DY
+
+            inside = inside & (on_edge(e0, ec0[0], ec0[1])
+                               | on_edge(e1, ec1[0], ec1[1])
+                               | on_edge(e2, ec2[0], ec2[1]))
+
+        z = (e0 * cz0 + e1 * cz1) + e2 * cz2
+        iw = (e0 * cw0 + e1 * cw1) + e2 * cw2
+        nx = (e0 * cnx0 + e1 * cnx1) + e2 * cnx2
+        ny = (e0 * cny0 + e1 * cny1) + e2 * cny2
+        nz = (e0 * cnz0 + e1 * cnz1) + e2 * cnz2
+        nlen = jnp.sqrt((nx * nx + ny * ny) + nz * nz)
+        ndl = (ny * f(cov._LIGHT[1])
+               + nz * f(cov._LIGHT[2])) / jnp.where(nlen > f(0.0), nlen,
+                                                    f(1.0))
+        shade = jnp.sqrt(f(0.001) + jnp.maximum(f(0.0), ndl))
+
+        in_box = ((coli >= px0 - px0a) & (coli <= px1 - px0a)
+                  & (rowi >= py0 - sy) & (rowi <= py1 - sy))
+        ok = inside & in_box & (z >= f(-1.0)) & (iw > f(0.0))
+
+        zq = jnp.clip((z * f(0.5) + f(0.5)) * f(2**_DEPTH_BITS - 1),
+                      0, 2**_DEPTH_BITS - 2).astype(_I32)
+        sq = jnp.clip(shade * f(2**_SHADE_BITS - 1),
+                      0, 2**_SHADE_BITS - 1).astype(_I32)
+        packed = jnp.where(ok, (zq << _SHADE_BITS) | sq, _EMPTY)
+
+        old = fb_ref[pl.ds(sy, STRIP), pl.ds(px0a, 128)]
+        fb_ref[pl.ds(sy, STRIP), pl.ds(px0a, 128)] = \
+            jnp.minimum(old, packed)
+        return sy
+
+    def do_strip(si, _):
+        # height_pad is a multiple of 8, not STRIP: clamp the last strip
+        # start (overlapping windows recompute identical fragments, and
+        # the min-merge is idempotent). The trailing *8 keeps the offset
+        # provably 8-aligned for Mosaic.
+        sy = jnp.minimum(si * (STRIP // 8), (height_pad - STRIP) // 8) * 8
+        jax.lax.fori_loop(px0 // 128, px1 // 128 + 1, do_block, sy)
+        return 0
+
+    def _scan():
+        jax.lax.fori_loop(py0 // STRIP, py1 // STRIP + 1, do_strip, 0)
+
+    pl.when(live)(_scan)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cap", "width_pad", "height_pad", "interpret", "wireframe"))
+def _run_huge(records, fb, *, cap, width_pad, height_pad,
+              interpret=False, wireframe=False):
+    """records (cap, 32) f32 huge-class records -> fb' min-merged."""
+    kernel = functools.partial(_huge_class_kernel, width_pad, height_pad,
+                               wireframe)
+    return pl.pallas_call(
+        kernel,
+        grid=(cap,),
+        in_specs=[
+            pl.BlockSpec((cap, 32), lambda i: (0, 0),
+                         memory_space=REC_SPACE),
+            pl.BlockSpec((height_pad, width_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((height_pad, width_pad), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((height_pad, width_pad), jnp.int32),
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(records, fb)
+
+
 REC_SPACE = pltpu.SMEM       # triangle records: scalar reads come from SMEM
                              # (VMEM scalar extracts measurably dominate)
 
@@ -265,27 +410,33 @@ def raster_frame_pallas(clip, normal, valid, width: int, height: int, *,
     """Drop-in twin of coverage.raster_frame running the fragment path as
     Pallas window kernels. Returns (image, depth, RasterCounters), or
     (packed, counters) when decode=False."""
-    t = cov._setup(clip, normal, valid, width, height, cell_mask)
-    bw = t.px1 - t.px0 + 1
-    bh = t.py1 - t.py0 + 1
-    eligible = t.live & (bh <= H_CLASSES[-1]) & (bw <= MAX_BW)
+    # Fused SoA setup + transposed record pack: every field stays a flat
+    # (N,) lane-major array end to end (coverage._setup_t) — the XLA
+    # path's (N, 3) AoS intermediates cost ~4.7 ms in tiled relayout
+    # copies at 1080p, and records-as-COLUMNS makes the per-class gathers
+    # lane-axis takes (~10x cheaper than 128-byte row gathers). The
+    # barrier materializes the matrix ONCE; without it XLA fuses the
+    # construction into every class's gather.
+    tm, live, bw, bh = cov._setup_t(clip, normal, valid, width, height,
+                                    cell_mask)
+    tm = jax.lax.optimization_barrier(tm)
+    eligible = live & (bh <= H_CLASSES[-1]) & (bw <= MAX_BW)
 
     width_pad = -(-max(width, WIN_W) // 128) * 128
     height_pad = -(-max(height, H_CLASSES[-1] + 8) // 8) * 8
     fb = jnp.full((height_pad, width_pad), _EMPTY, jnp.int32)
 
-    tm = cov._pack_tris(t)
     # ONE keyed sort compacts every class at once: key = class*(n+1)+pos,
     # ascending sort groups classes contiguously in original order; each
     # class then slices its segment at the running-count offset and
     # masks strays (class id check) to the pad row. This replaces six
     # separate sort-compactions and an intermediate 131k-row gather
     # (~10 ms of the frame on TPU).
-    n = t.live.shape[0]
+    n = live.shape[0]
     stride = jnp.int32(n + 1)
     pos = jnp.arange(n, dtype=_I32)
     class_id = jnp.full((n,), len(H_CLASSES) + 1, _I32)     # dead last
-    need_huge = t.live & ~eligible
+    need_huge = live & ~eligible
     class_id = jnp.where(need_huge, len(H_CLASSES), class_id)
     for c in reversed(range(len(H_CLASSES))):
         class_id = jnp.where(eligible & (bh <= H_CLASSES[c]),
@@ -310,28 +461,29 @@ def raster_frame_pallas(clip, normal, valid, width: int, height: int, *,
     for c, (maxh, cap) in enumerate(zip(H_CLASSES, caps)):
         idxs = _segment(c, off, cap)
         off = off + counts[c]
-        recs = cov._gather_packed(tm, idxs)
+        recs = cov._gather_packed_t(tm, idxs)
         fb = _run_class(recs, fb, maxh=maxh, cap=cap, width_pad=width_pad,
                         height_pad=height_pad, interpret=interpret,
                         wireframe=wireframe)
         n_per_class.append(counts[c])
         overflowed = overflowed | (counts[c] > cap)
 
-    buf = fb[:height, :width].reshape(-1)
-
-    # huge triangles: the rare full-screen scan, shared with the XLA path
+    # huge triangles: bbox-bounded Pallas scan (one grid step per record,
+    # fori_loops over the bbox's 32x128 tiles — see _huge_class_kernel)
     hg_idx = _segment(len(H_CLASSES), off, huge_cap)
     n_huge = counts[len(H_CLASSES)]
-    th = cov._unpack_tris(cov._gather_packed(tm, hg_idx))
+    recs_h = cov._gather_packed_t(tm, hg_idx)
     overflowed = overflowed | (n_huge > huge_cap)
-    buf = jax.lax.cond(
+    fb = jax.lax.cond(
         n_huge > 0,
-        lambda b: cov._huge_pass(b, th, width, height, wireframe),
-        lambda b: b, buf)
+        lambda b: _run_huge(recs_h, b, cap=huge_cap, width_pad=width_pad,
+                            height_pad=height_pad, interpret=interpret,
+                            wireframe=wireframe),
+        lambda b: b, fb)
 
-    img_packed = buf.reshape(height, width)
+    img_packed = fb[:height, :width]
     counters = cov.RasterCounters(
-        n_tris=jnp.sum(t.live.astype(_I32)),
+        n_tris=jnp.sum(live.astype(_I32)),
         n_per_class=jnp.stack(n_per_class + [n_huge]),
         n_huge=n_huge, overflowed=overflowed)
     if not decode:
