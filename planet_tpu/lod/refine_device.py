@@ -97,10 +97,11 @@ def _subdivide(ch, cl, radius):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "max_lod", "cap", "radius", "probe_fn_name"))
+    "max_lod", "cap", "radius", "probe_fn_name", "tight"))
 def refine_device(cam_hi, cam_lo, root_lo, root_hi, root_ch, root_cl,
                   *, max_lod: int, cap: int, radius: float,
-                  probe_fn_name: str = "zero", root_depth=None):
+                  probe_fn_name: str = "zero", root_depth=None,
+                  tight: int = 512):
     """Full-device refinement. Roots: (R,) id words + (R, 4, 3) DF corners
     — the 6 cube faces by default, or any frontier of same-tree quads (the
     sharded engine refines per-chip SUBTREES from depth-1 roots,
@@ -111,8 +112,14 @@ def refine_device(cam_hi, cam_lo, root_lo, root_hi, root_ch, root_cl,
     probe_fn_name selects the probe-height model: "zero" (smooth sphere,
     ConstantZero generator, main.cpp:836-841) — the noisy probe variant is
     composed at the engine level where the Pallas kernel is available.
+
+    tight: static width of the fast per-level path — a level whose
+    frontier fits in `tight` slots runs all frontier-wide math (probes,
+    split metric, subdivision) on [:tight] slices instead of the full
+    cap (bit-identical results; only dead-slot work is skipped).
     """
     n0 = root_lo.shape[0]
+    tight_w = max(min(int(tight), cap), 4)
 
     def pad(a, shape, dtype):
         out = jnp.zeros(shape, dtype)
@@ -158,27 +165,35 @@ def refine_device(cam_hi, cam_lo, root_lo, root_hi, root_ch, root_cl,
             return h * np.float32(8848.0)
         raise ValueError(probe_fn_name)
 
-    def body(state):
+    def level_step(W, state):
+        """One refinement level at static frontier width W <= cap: every
+        frontier-wide tensor is a [:W] slice. The per-level arithmetic is
+        elementwise in the slot index, so results are bit-identical to the
+        full-width body — only dead-slot work is skipped. The engine's
+        standing frontier buffers stay (cap,); children are padded back."""
         (f_lo, f_hi, f_ch, f_cl, f_depth, f_n,
          l_lo, l_hi, l_ch, l_cl, l_depth, l_n, overflow, level) = state
+        f_lo_w, f_hi_w = f_lo[:W], f_hi[:W]
+        f_ch_w, f_cl_w = f_ch[:W], f_cl[:W]
+        f_depth_w = f_depth[:W]
 
-        active = jnp.arange(cap) < f_n
-        lodv = jnp.int32(max_lod) - f_depth            # (cap,) per-quad lod
+        active = jnp.arange(W) < f_n
+        lodv = jnp.int32(max_lod) - f_depth_w          # (W,) per-quad lod
 
         # --- probes: 4 corners + sphere midpoint, displaced by heights
         rh = np.float32(radius)
         rl = np.float32(np.float64(radius) - np.float64(rh))
-        csum_h = f_ch.sum(axis=1)
-        csum_l = f_cl.sum(axis=1)          # adequate: used via DF normalize
+        csum_h = f_ch_w.sum(axis=1)
+        csum_l = f_cl_w.sum(axis=1)        # adequate: used via DF normalize
         mx, my, mz = _df_normalize3(
             csum_h[:, 0], csum_l[:, 0], csum_h[:, 1], csum_l[:, 1],
             csum_h[:, 2], csum_l[:, 2], rh, rl)
         mid_h = jnp.stack([mx.hi, my.hi, mz.hi], 1)
         mid_l = jnp.stack([mx.lo, my.lo, mz.lo], 1)
 
-        probes_h = jnp.concatenate([f_ch, mid_h[:, None, :]], axis=1)
-        probes_l = jnp.concatenate([f_cl, mid_l[:, None, :]], axis=1)
-        hts = probe_heights(probes_h, probes_l)              # (cap, 5)
+        probes_h = jnp.concatenate([f_ch_w, mid_h[:, None, :]], axis=1)
+        probes_l = jnp.concatenate([f_cl_w, mid_l[:, None, :]], axis=1)
+        hts = probe_heights(probes_h, probes_l)              # (W, 5)
 
         # Split decision entirely in double-float so device leaf sets are
         # bit-stable vs the f64 host refiner (the reference evaluates
@@ -221,29 +236,29 @@ def refine_device(cam_hi, cam_lo, root_lo, root_hi, root_ch, root_cl,
 
         # --- append compacted leaves at offset l_n (scatter-free: sort the
         # leaf mask for source positions, gather rows, then merge a
-        # cap-sized window with dynamic slice/update — XLA scatters cost
+        # W-sized window with dynamic slice/update — XLA scatters cost
         # ~7 ns/element on TPU; the leaf buffers are 2*cap rows so the
         # window never runs off the end)
         n_leaf = jnp.sum(leaf.astype(_I32))
-        lkeys = jnp.where(leaf, jnp.arange(cap, dtype=_I32), jnp.int32(cap))
-        src = jax.lax.sort(lkeys)                      # (cap,) pad = cap
-        fresh = jnp.arange(cap) < n_leaf
+        lkeys = jnp.where(leaf, jnp.arange(W, dtype=_I32), jnp.int32(W))
+        src = jax.lax.sort(lkeys)                      # (W,) pad = W
+        fresh = jnp.arange(W) < n_leaf
 
         def append(buf, val):
             gathered = jnp.pad(
                 val, ((0, 1),) + ((0, 0),) * (val.ndim - 1))[src]
             start = (l_n,) + (jnp.int32(0),) * (buf.ndim - 1)
             old = jax.lax.dynamic_slice(
-                buf, start, (cap,) + buf.shape[1:])
-            mask = fresh.reshape((cap,) + (1,) * (val.ndim - 1))
+                buf, start, (W,) + buf.shape[1:])
+            mask = fresh.reshape((W,) + (1,) * (val.ndim - 1))
             return jax.lax.dynamic_update_slice(
                 buf, jnp.where(mask, gathered, old), start)
 
-        l_lo = append(l_lo, f_lo)
-        l_hi = append(l_hi, f_hi)
-        l_ch = append(l_ch, f_ch)
-        l_cl = append(l_cl, f_cl)
-        l_depth = append(l_depth, f_depth)
+        l_lo = append(l_lo, f_lo_w)
+        l_hi = append(l_hi, f_hi_w)
+        l_ch = append(l_ch, f_ch_w)
+        l_cl = append(l_cl, f_cl_w)
+        l_depth = append(l_depth, f_depth_w)
         new_l_n = (l_n + n_leaf).astype(_I32)
         overflow = overflow | (new_l_n > cap)
         l_n = jnp.minimum(new_l_n, cap).astype(_I32)
@@ -252,37 +267,55 @@ def refine_device(cam_hi, cam_lo, root_lo, root_hi, root_ch, root_cl,
         # ~7 ns/element loops on TPU, so the old 20-scatters-per-level
         # expansion dominated refinement; one small sort + row gathers
         # produce the identical child ordering)
-        kids_h, kids_l = _subdivide(f_ch, f_cl, radius)      # (cap,4,4,3)
+        kids_h, kids_l = _subdivide(f_ch_w, f_cl_w, radius)  # (W,4,4,3)
         child_lo = jnp.stack(
-            [quadid.words_make_child(f_lo, f_hi, jnp.int32(c))[0]
+            [quadid.words_make_child(f_lo_w, f_hi_w, jnp.int32(c))[0]
              for c in range(4)], axis=1)
         child_hi = jnp.stack(
-            [quadid.words_make_child(f_lo, f_hi, jnp.int32(c))[1]
+            [quadid.words_make_child(f_lo_w, f_hi_w, jnp.int32(c))[1]
              for c in range(4)], axis=1)
 
+        wc = min(4 * W, cap)                   # children live in [:wc]
         n_split = jnp.sum(split.astype(_I32))
         overflow = overflow | ((n_split * 4) > cap)
-        keys = jnp.where(split, jnp.arange(cap, dtype=_I32), jnp.int32(cap))
-        spad = jax.lax.sort(keys)[:cap // 4]   # split ranks -> slot index
-        j = jnp.arange(cap)
+        keys = jnp.where(split, jnp.arange(W, dtype=_I32), jnp.int32(W))
+        spad = jax.lax.sort(keys)[:max(wc // 4, 1)]   # split rank -> slot
+        j = jnp.arange(wc)
         pr = j // 4
         cidx = j % 4
-        ok_child = pr < jnp.minimum(n_split, cap // 4)
-        psel = jnp.where(ok_child, spad[pr], jnp.int32(cap))
+        ok_child = pr < jnp.minimum(n_split, wc // 4)
+        psel = jnp.where(ok_child, spad[pr], jnp.int32(W))
 
         def gpad(a):
             return jnp.pad(a, ((0, 1),) + ((0, 0),) * (a.ndim - 1))
 
-        nf_lo = gpad(child_lo)[psel, cidx]
-        nf_hi = gpad(child_hi)[psel, cidx]
-        nf_ch = gpad(kids_h)[psel, cidx]
-        nf_cl = gpad(kids_l)[psel, cidx]
-        nf_depth = jnp.where(ok_child, gpad(f_depth)[psel] + 1, 0)
+        def cpad(a):
+            return jnp.pad(a, ((0, cap - wc),) + ((0, 0),) * (a.ndim - 1))
+
+        nf_lo = cpad(gpad(child_lo)[psel, cidx])
+        nf_hi = cpad(gpad(child_hi)[psel, cidx])
+        nf_ch = cpad(gpad(kids_h)[psel, cidx])
+        nf_cl = cpad(gpad(kids_l)[psel, cidx])
+        nf_depth = cpad(jnp.where(ok_child, gpad(f_depth_w)[psel] + 1, 0))
         f_n = jnp.minimum(n_split * 4, cap).astype(_I32)
 
         return (nf_lo, nf_hi, nf_ch, nf_cl,
                 nf_depth, f_n,
                 l_lo, l_hi, l_ch, l_cl, l_depth, l_n, overflow, level + 1)
+
+    def body(state):
+        """A level runs at the tight width when the frontier fits (the
+        common case at product cameras: frontiers are a few hundred while
+        cap covers adversarial scenes) and at full cap otherwise — the
+        (cap, 5)-point DF terrain probes were ~60% of the refine stage
+        when frontiers were ~200 of 4096 slots."""
+        if tight_w >= cap:
+            return level_step(cap, state)
+        f_n = state[5]
+        return jax.lax.cond(
+            f_n <= tight_w,
+            functools.partial(level_step, tight_w),
+            functools.partial(level_step, cap), state)
 
     def cond(state):
         f_n, level = state[5], state[13]
