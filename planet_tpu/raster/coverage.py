@@ -354,7 +354,14 @@ def _setup_t(clip, normal, valid, width: int, height: int, cell_mask=None):
     minor dims force tiled relayout copies (measured ~4.7 ms of the 1080p
     frame); this variant keeps every field a flat (N,) lane-major array and
     emits the (32, N + 1) record matrix directly. All arithmetic is the
-    same op sequence as _setup, so record values are bit-identical.
+    same op sequence as _setup + _fragments' per-triangle prologue, so
+    fragment values stay bit-identical.
+
+    Record rows (all f32): 0-8 edge constants (DX, DY, c) for the edges
+    opposite vertices 0/1/2 (FRONT_SIGN and bbox-min folded); 9-11 z and
+    12-14 1/w barycentric coefficients, inv_area folded; 15-23 normal*1/w
+    coefficients (vertex-major x,y,z), inv_area folded; 24-27 clamped
+    bbox (px0, py0, px1, py1); 28 live flag.
 
     The candidate index space here is (parity, q, r, c) over the FULL
     G x G grid flattened to lane-major (Q, G*G) rows — cells in the last
@@ -438,9 +445,31 @@ def _setup_t(clip, normal, valid, width: int, height: int, cell_mask=None):
     live = tri_ok & front & nonempty
     inv_area = jnp.where(live, 1.0 / jnp.where(live, area2, 1.0), 0.0)
 
-    rows = [x0, x1, x2, y0, y1, y2, z0, z1, z2, w0, w1, w2,
-            nx0, ny0, nz0, nx1, ny1, nz1, nx2, ny2, nz2,    # niw v-major
-            inv_area,
+    # Per-triangle scalar invariants PRECOMPUTED here (lane-parallel)
+    # instead of per record on the kernels' scalar unit: the bbox-min-
+    # relative edge constants and the inv_area-folded attribute
+    # coefficients are ~35 scalar ops per triangle, and the class kernels
+    # are partly scalar-bound. Same op sequence as _fragments/_one_triangle
+    # used inline, so fragment values stay bit-identical.
+    ox = px0c.astype(_F32) + np.float32(0.5)
+    oy = py0c.astype(_F32) + np.float32(0.5)
+
+    def edge_consts(xa, ya, xb, yb):
+        DX = (xb - xa) * FRONT_SIGN
+        DY = (yb - ya) * FRONT_SIGN
+        c = DX * (oy - ya) - DY * (ox - xa)
+        return DX, DY, c
+
+    dx0, dy0, c0 = edge_consts(x1, y1, x2, y2)         # opposite vertex 0
+    dx1, dy1, c1 = edge_consts(x2, y2, x0, y0)
+    dx2, dy2, c2 = edge_consts(x0, y0, x1, y1)
+
+    rows = [dx0, dy0, c0, dx1, dy1, c1, dx2, dy2, c2,
+            z0 * inv_area, z1 * inv_area, z2 * inv_area,
+            w0 * inv_area, w1 * inv_area, w2 * inv_area,
+            nx0 * inv_area, ny0 * inv_area, nz0 * inv_area,
+            nx1 * inv_area, ny1 * inv_area, nz1 * inv_area,
+            nx2 * inv_area, ny2 * inv_area, nz2 * inv_area,
             px0c.astype(_F32), py0c.astype(_F32),
             px1c.astype(_F32), py1c.astype(_F32),
             live.astype(_F32)]

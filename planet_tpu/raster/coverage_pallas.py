@@ -70,27 +70,29 @@ def _raster_class_kernel(maxh: int, width_pad: int, wireframe: bool,
 
     # skip fully-dead record blocks (oversized caps cost ~nothing);
     # scalar reads so the records block can live in SMEM
-    any_live = rec_ref[0, 26] > 0.5
+    any_live = rec_ref[0, 28] > 0.5
     for t in range(1, TRI_BLOCK):
-        any_live = any_live | (rec_ref[t, 26] > 0.5)
+        any_live = any_live | (rec_ref[t, 28] > 0.5)
 
     winh = maxh + 8
-    # static iotas shared by every triangle in the block
+    # static iotas shared by every triangle in the block (a split
+    # maxh-base + conditional 8-row spill window was tried and measured
+    # SLOWER: the extra scalar-predicated branches cost more than the
+    # saved rows at 1-2 vreg granularity)
     rowi = jax.lax.broadcasted_iota(_I32, (winh, WIN_W), 0)
     coli = jax.lax.broadcasted_iota(_I32, (winh, WIN_W), 1)
-    rowf = rowi.astype(_F32)
-    colf = coli.astype(_F32)
+    its = (rowi, coli, rowi.astype(_F32), coli.astype(_F32))
 
     def _block():
         for t in range(TRI_BLOCK):
             _one_triangle(maxh, width_pad, wireframe, rec_ref, fb_ref, t,
-                          rowi, coli, rowf, colf)
+                          its)
 
     pl.when(any_live)(_block)
 
 
 def _one_triangle(maxh: int, width_pad: int, wireframe: bool, rec_ref,
-                  fb_ref, t, rowi, coli, rowf, colf):
+                  fb_ref, t, its):
     """Rasterize record t into its bbox's aligned (maxh+8, 128) window(s).
 
     All per-triangle invariants are folded to SCALARS (SMEM reads + scalar
@@ -106,59 +108,47 @@ def _one_triangle(maxh: int, width_pad: int, wireframe: bool, rec_ref,
     A bbox of width <= 128 spans at most two aligned lane blocks; the
     second window pass runs only for the (~10% at 1080p) straddling
     triangles, under a scalar predicate — the common case does half the
-    vector work of the old fixed 256-lane window."""
+    vector work of the old fixed 256-lane window.
+
+    Edge constants and inv_area-folded attribute coefficients arrive
+    PRECOMPUTED in the record (coverage._setup_t rows 0-23) — they are
+    lane-parallel on the XLA side but ~35 scalar-unit ops per record
+    here, and the small classes are partly scalar-bound."""
     f = _F32
-    live = rec_ref[t, 26] > 0.5
-    x0, x1, x2 = rec_ref[t, 0], rec_ref[t, 1], rec_ref[t, 2]
-    y0, y1, y2 = rec_ref[t, 3], rec_ref[t, 4], rec_ref[t, 5]
-    ia = rec_ref[t, 21]
-    px0 = rec_ref[t, 22].astype(_I32)
-    py0 = rec_ref[t, 23].astype(_I32)
-    px1 = rec_ref[t, 24].astype(_I32)
-    py1 = rec_ref[t, 25].astype(_I32)
+    live = rec_ref[t, 28] > 0.5
+    px0 = rec_ref[t, 24].astype(_I32)
+    py0 = rec_ref[t, 25].astype(_I32)
+    px1 = rec_ref[t, 26].astype(_I32)
+    py1 = rec_ref[t, 27].astype(_I32)
 
     winh = maxh + 8
     hp = fb_ref.shape[0]
     py0c = jnp.clip(py0 // 8, 0, (hp - winh) // 8) * 8
     blk0 = jnp.clip(px0 // 128, 0, (width_pad - WIN_W) // 128)
 
-    fs = f(cov.FRONT_SIGN)
-    # scalar edge coefficients + bbox-min-relative constants, computed in
-    # the same op order as coverage._fragments (bit-parity)
-    ox = px0.astype(f) + f(0.5)
-    oy = py0.astype(f) + f(0.5)
-
-    def edge_consts(xa, ya, xb, yb):
-        DX = (xb - xa) * fs
-        DY = (yb - ya) * fs
-        c = DX * (oy - ya) - DY * (ox - xa)
+    def edge_consts(DX, DY, c):
         tl = (DY < f(0.0)) | ((DY == f(0.0)) & (DX > f(0.0)))
         return DX, DY, c, tl
 
-    ec0 = edge_consts(x1, y1, x2, y2)              # opposite vertex 0
-    ec1 = edge_consts(x2, y2, x0, y0)
-    ec2 = edge_consts(x0, y0, x1, y1)
+    ec0 = edge_consts(rec_ref[t, 0], rec_ref[t, 1], rec_ref[t, 2])
+    ec1 = edge_consts(rec_ref[t, 3], rec_ref[t, 4], rec_ref[t, 5])
+    ec2 = edge_consts(rec_ref[t, 6], rec_ref[t, 7], rec_ref[t, 8])
 
-    # barycentric attribute coefficients with inv_area folded in (scalar)
-    cz0, cz1, cz2 = rec_ref[t, 6] * ia, rec_ref[t, 7] * ia, \
-        rec_ref[t, 8] * ia
-    cw0, cw1, cw2 = rec_ref[t, 9] * ia, rec_ref[t, 10] * ia, \
-        rec_ref[t, 11] * ia
-    cnx0, cnx1, cnx2 = rec_ref[t, 12] * ia, rec_ref[t, 15] * ia, \
-        rec_ref[t, 18] * ia
-    cny0, cny1, cny2 = rec_ref[t, 13] * ia, rec_ref[t, 16] * ia, \
-        rec_ref[t, 19] * ia
-    cnz0, cnz1, cnz2 = rec_ref[t, 14] * ia, rec_ref[t, 17] * ia, \
-        rec_ref[t, 20] * ia
+    cz0, cz1, cz2 = rec_ref[t, 9], rec_ref[t, 10], rec_ref[t, 11]
+    cw0, cw1, cw2 = rec_ref[t, 12], rec_ref[t, 13], rec_ref[t, 14]
+    cnx0, cny0, cnz0 = rec_ref[t, 15], rec_ref[t, 16], rec_ref[t, 17]
+    cnx1, cny1, cnz1 = rec_ref[t, 18], rec_ref[t, 19], rec_ref[t, 20]
+    cnx2, cny2, cnz2 = rec_ref[t, 21], rec_ref[t, 22], rec_ref[t, 23]
 
     r_lo, r_hi = py0 - py0c, py1 - py0c
 
-    def window(blk):
+    def window(blk, ry0, nrows, its):
+        rowi, coli, rowf, colf = its
         px0a = blk * 128
         # window pixel deltas from the bbox-min pixel center: exact
         # integer-valued f32, identical to _fragments' (pc - o) values
         rx = colf - (px0 - px0a).astype(f)
-        ry = rowf - (py0 - py0c).astype(f)
+        ry = rowf - (py0 - py0c - ry0).astype(f)
 
         def edge(DX, DY, c, tl):
             e = (DX * ry - DY * rx) + c
@@ -191,7 +181,7 @@ def _one_triangle(maxh: int, width_pad: int, wireframe: bool, rec_ref,
         shade = jnp.sqrt(f(0.001) + jnp.maximum(f(0.0), ndl))
 
         in_box = ((coli >= px0 - px0a) & (coli <= px1 - px0a)
-                  & (rowi >= r_lo) & (rowi <= r_hi))
+                  & (rowi >= r_lo - ry0) & (rowi <= r_hi - ry0))
         ok = live & inside & in_box & (z >= f(-1.0)) & (iw > f(0.0))
 
         zq = jnp.clip((z * f(0.5) + f(0.5)) * f(2**_DEPTH_BITS - 1),
@@ -200,14 +190,14 @@ def _one_triangle(maxh: int, width_pad: int, wireframe: bool, rec_ref,
                       0, 2**_SHADE_BITS - 1).astype(_I32)
         packed = jnp.where(ok, (zq << _SHADE_BITS) | sq, _EMPTY)
 
-        old = fb_ref[pl.ds(py0c, winh), pl.ds(px0a, WIN_W)]
-        fb_ref[pl.ds(py0c, winh), pl.ds(px0a, WIN_W)] = \
+        old = fb_ref[pl.ds(py0c + ry0, nrows), pl.ds(px0a, WIN_W)]
+        fb_ref[pl.ds(py0c + ry0, nrows), pl.ds(px0a, WIN_W)] = \
             jnp.minimum(old, packed)
 
-    window(blk0)
+    window(blk0, 0, winh, its)
     straddle = live & (px1 > blk0 * 128 + 127)
     blk1 = jnp.minimum(blk0 + 1, (width_pad - WIN_W) // 128)
-    pl.when(straddle)(lambda: window(blk1))
+    pl.when(straddle)(lambda: window(blk1, 0, winh, its))
 
 
 def _huge_class_kernel(width_pad: int, height_pad: int, wireframe: bool,
@@ -227,40 +217,25 @@ def _huge_class_kernel(width_pad: int, height_pad: int, wireframe: bool,
 
     f = _F32
     t = pl.program_id(0)          # records block = the full (cap, 32)
-    live = rec_ref[t, 26] > 0.5
-    x0, x1, x2 = rec_ref[t, 0], rec_ref[t, 1], rec_ref[t, 2]
-    y0, y1, y2 = rec_ref[t, 3], rec_ref[t, 4], rec_ref[t, 5]
-    ia = rec_ref[t, 21]
-    px0 = rec_ref[t, 22].astype(_I32)
-    py0 = rec_ref[t, 23].astype(_I32)
-    px1 = rec_ref[t, 24].astype(_I32)
-    py1 = rec_ref[t, 25].astype(_I32)
+    live = rec_ref[t, 28] > 0.5
+    px0 = rec_ref[t, 24].astype(_I32)
+    py0 = rec_ref[t, 25].astype(_I32)
+    px1 = rec_ref[t, 26].astype(_I32)
+    py1 = rec_ref[t, 27].astype(_I32)
 
-    fs = f(cov.FRONT_SIGN)
-    ox = px0.astype(f) + f(0.5)
-    oy = py0.astype(f) + f(0.5)
-
-    def edge_consts(xa, ya, xb, yb):
-        DX = (xb - xa) * fs
-        DY = (yb - ya) * fs
-        c = DX * (oy - ya) - DY * (ox - xa)
+    def edge_consts(DX, DY, c):
         tl = (DY < f(0.0)) | ((DY == f(0.0)) & (DX > f(0.0)))
         return DX, DY, c, tl
 
-    ec0 = edge_consts(x1, y1, x2, y2)              # opposite vertex 0
-    ec1 = edge_consts(x2, y2, x0, y0)
-    ec2 = edge_consts(x0, y0, x1, y1)
+    ec0 = edge_consts(rec_ref[t, 0], rec_ref[t, 1], rec_ref[t, 2])
+    ec1 = edge_consts(rec_ref[t, 3], rec_ref[t, 4], rec_ref[t, 5])
+    ec2 = edge_consts(rec_ref[t, 6], rec_ref[t, 7], rec_ref[t, 8])
 
-    cz0, cz1, cz2 = rec_ref[t, 6] * ia, rec_ref[t, 7] * ia, \
-        rec_ref[t, 8] * ia
-    cw0, cw1, cw2 = rec_ref[t, 9] * ia, rec_ref[t, 10] * ia, \
-        rec_ref[t, 11] * ia
-    cnx0, cnx1, cnx2 = rec_ref[t, 12] * ia, rec_ref[t, 15] * ia, \
-        rec_ref[t, 18] * ia
-    cny0, cny1, cny2 = rec_ref[t, 13] * ia, rec_ref[t, 16] * ia, \
-        rec_ref[t, 19] * ia
-    cnz0, cnz1, cnz2 = rec_ref[t, 14] * ia, rec_ref[t, 17] * ia, \
-        rec_ref[t, 20] * ia
+    cz0, cz1, cz2 = rec_ref[t, 9], rec_ref[t, 10], rec_ref[t, 11]
+    cw0, cw1, cw2 = rec_ref[t, 12], rec_ref[t, 13], rec_ref[t, 14]
+    cnx0, cny0, cnz0 = rec_ref[t, 15], rec_ref[t, 16], rec_ref[t, 17]
+    cnx1, cny1, cnz1 = rec_ref[t, 18], rec_ref[t, 19], rec_ref[t, 20]
+    cnx2, cny2, cnz2 = rec_ref[t, 21], rec_ref[t, 22], rec_ref[t, 23]
 
     STRIP = 32
     rowi = jax.lax.broadcasted_iota(_I32, (STRIP, 128), 0)
