@@ -475,7 +475,11 @@ def _setup_t(clip, normal, valid, width: int, height: int, cell_mask=None):
             live.astype(_F32)]
     tm = jnp.concatenate([r[None, :].astype(_F32) for r in rows], axis=0)
     tm = jnp.pad(tm, ((0, _REC_COLS - tm.shape[0]), (0, 1)))
-    return tm, live, px1c - px0c + 1, py1c - py0c + 1
+    # aligned 8-row block span: how many sublane-aligned framebuffer row
+    # blocks the clamped bbox touches — the Pallas ladder bins by this
+    # (window height exactly 8*span, no alignment padding rows)
+    span = (py1c // 8) - (py0c // 8) + 1
+    return tm, live, px1c - px0c + 1, py1c - py0c + 1, span
 
 
 def _gather_packed_t(mt, idxs):

@@ -8,22 +8,25 @@ path with a Pallas kernel that keeps the WHOLE framebuffer resident in
 VMEM (1920x1080 int32 = 8.3 MB of ~16 MB) and turns the depth test into
 dense vector min updates — no scatters anywhere:
 
-* Triangles are binned by bbox HEIGHT class (8/16/32/64 rows; width is
-  uniform) and compacted once; each class launches one kernel.
+* Triangles are binned by how many ALIGNED 8-row framebuffer blocks their
+  bbox spans (1/2/3/4/8/16 blocks; width is uniform) and compacted once;
+  each class launches one kernel whose window height is EXACTLY
+  8*span — binning by raw bbox height instead costs every triangle up to
+  8 alignment padding rows (measured ~23% extra window rows at 1080p).
 * Each triangle evaluates coverage/depth/shade over an ALIGNED window:
-  rows [py0c, py0c + maxH), cols [px0a, px0a + 256) with px0a a multiple
-  of 128 — the 256-lane window always contains the <=128-px-wide bbox, and
-  lane alignment keeps the read-modify-write on the VMEM framebuffer on
-  native vector tiles.
+  rows [py0c, py0c + 8*span), cols [px0a, px0a + 128) with px0a a
+  multiple of 128 — lane alignment keeps the read-modify-write on the
+  VMEM framebuffer on native vector tiles.
 * The window min-merge IS the LEQUAL depth test: packed keys are the
   shared (21-bit quantized depth, 10-bit shade) layout of coverage.py, so
   results are interchangeable with (and tested against) the XLA path.
 
 Coverage decisions reuse coverage._setup's snapped screen coordinates and
 evaluate the identical f32 edge functions (Mosaic does not contract FMA,
-matching the scalar spec). Triangles taller than 64 rows or wider than
-128 px take coverage._huge_pass; triangles beyond a class cap set the
-overflow counter, never vanish silently.
+matching the scalar spec). Triangles spanning more than 16 aligned row
+blocks or wider than 128 px take the bbox-bounded huge-triangle kernel;
+triangles beyond a class cap set the overflow counter, never vanish
+silently.
 """
 
 from __future__ import annotations
@@ -44,21 +47,23 @@ _I32 = jnp.int32
 
 WIN_W = 128                      # one lane-aligned framebuffer block
 MAX_BW = 128                     # widest bbox the ladder accepts
-H_CLASSES = (8, 16, 32, 64, 128)  # bbox-height ladder
-# per-class triangle caps: ~1.3x the measured 1080p LOD demand
-# (28826/13856/5237/443/12 at 20 km altitude). Fully-dead record blocks
-# are skipped in-kernel, but the XLA-side RECORD GATHER pays ~49 ns per
-# cap row whether live or dead (trace: 2.39 ms at the old 49152 cap), so
-# caps are sized tight; overflow is counted, never silent. The 128-row
-# class exists so near-silhouette tall triangles stay off the XLA
-# full-screen scan (measured ~20 ms per frame whenever one was live).
-DEFAULT_CAPS = (38912, 18432, 7168, 1024, 256)
+SPAN_CLASSES = (1, 2, 3, 4, 8, 16)   # aligned 8-row block-span ladder
+# per-class triangle caps: ~1.35x the measured 1080p LOD demand
+# (15067/22611/7696/2098/888/14 at 20 km altitude). Fully-dead record
+# blocks are skipped in-kernel, but the XLA-side RECORD GATHER pays
+# ~50 ns per cap row whether live or dead, so caps are sized tight;
+# overflow is counted, never silent. The 16-block class exists so
+# near-silhouette tall triangles stay off the serial huge-triangle scan.
+DEFAULT_CAPS = (20352, 30528, 10400, 2832, 1200, 64)
 TRI_BLOCK = 16                   # triangles per grid step
 
 
-def _raster_class_kernel(maxh: int, width_pad: int, wireframe: bool,
+def _raster_class_kernel(winh: int, width_pad: int, wireframe: bool,
                          rec_ref, fb_in_ref, fb_ref):
-    """One grid step: TRI_BLOCK triangles' (maxh+8, WIN_W) window updates.
+    """One grid step: TRI_BLOCK triangles' (winh, WIN_W) window updates,
+    winh = 8 * the class's aligned block span (exactly the rows the bbox
+    can touch — no alignment padding; a conditional spill-window variant
+    was tried and measured SLOWER than folding alignment into the class).
 
     The framebuffer blocks use a constant index map, so both stay VMEM-
     resident across the whole grid; the OUTPUT block starts undefined and
@@ -74,26 +79,22 @@ def _raster_class_kernel(maxh: int, width_pad: int, wireframe: bool,
     for t in range(1, TRI_BLOCK):
         any_live = any_live | (rec_ref[t, 28] > 0.5)
 
-    winh = maxh + 8
-    # static iotas shared by every triangle in the block (a split
-    # maxh-base + conditional 8-row spill window was tried and measured
-    # SLOWER: the extra scalar-predicated branches cost more than the
-    # saved rows at 1-2 vreg granularity)
+    # static iotas shared by every triangle in the block
     rowi = jax.lax.broadcasted_iota(_I32, (winh, WIN_W), 0)
     coli = jax.lax.broadcasted_iota(_I32, (winh, WIN_W), 1)
     its = (rowi, coli, rowi.astype(_F32), coli.astype(_F32))
 
     def _block():
         for t in range(TRI_BLOCK):
-            _one_triangle(maxh, width_pad, wireframe, rec_ref, fb_ref, t,
+            _one_triangle(winh, width_pad, wireframe, rec_ref, fb_ref, t,
                           its)
 
     pl.when(any_live)(_block)
 
 
-def _one_triangle(maxh: int, width_pad: int, wireframe: bool, rec_ref,
+def _one_triangle(winh: int, width_pad: int, wireframe: bool, rec_ref,
                   fb_ref, t, its):
-    """Rasterize record t into its bbox's aligned (maxh+8, 128) window(s).
+    """Rasterize record t into its bbox's aligned (winh, 128) window(s).
 
     All per-triangle invariants are folded to SCALARS (SMEM reads + scalar
     ALU): edge functions restate as e = DX*row - DY*col + C with row/col
@@ -121,7 +122,6 @@ def _one_triangle(maxh: int, width_pad: int, wireframe: bool, rec_ref,
     px1 = rec_ref[t, 26].astype(_I32)
     py1 = rec_ref[t, 27].astype(_I32)
 
-    winh = maxh + 8
     hp = fb_ref.shape[0]
     py0c = jnp.clip(py0 // 8, 0, (hp - winh) // 8) * 8
     blk0 = jnp.clip(px0 // 128, 0, (width_pad - WIN_W) // 128)
@@ -335,15 +335,15 @@ REC_SPACE = pltpu.SMEM       # triangle records: scalar reads come from SMEM
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "maxh", "cap", "width_pad", "height_pad", "interpret", "wireframe"))
-def _run_class(records, fb, *, maxh, cap, width_pad, height_pad,
+    "winh", "cap", "width_pad", "height_pad", "interpret", "wireframe"))
+def _run_class(records, fb, *, winh, cap, width_pad, height_pad,
                interpret=False, wireframe=False):
     """records (cap, 32) f32 -> fb' with all class triangles min-merged."""
     if cap % TRI_BLOCK:
         raise ValueError(
             f"class cap {cap} must be a multiple of TRI_BLOCK={TRI_BLOCK} "
             "(the grid would silently drop the trailing records)")
-    kernel = functools.partial(_raster_class_kernel, maxh, width_pad,
+    kernel = functools.partial(_raster_class_kernel, winh, width_pad,
                                wireframe)
     return pl.pallas_call(
         kernel,
@@ -392,13 +392,13 @@ def raster_frame_pallas(clip, normal, valid, width: int, height: int, *,
     # lane-axis takes (~10x cheaper than 128-byte row gathers). The
     # barrier materializes the matrix ONCE; without it XLA fuses the
     # construction into every class's gather.
-    tm, live, bw, bh = cov._setup_t(clip, normal, valid, width, height,
-                                    cell_mask)
+    tm, live, bw, bh, span = cov._setup_t(clip, normal, valid, width,
+                                          height, cell_mask)
     tm = jax.lax.optimization_barrier(tm)
-    eligible = live & (bh <= H_CLASSES[-1]) & (bw <= MAX_BW)
+    eligible = live & (span <= SPAN_CLASSES[-1]) & (bw <= MAX_BW)
 
     width_pad = -(-max(width, WIN_W) // 128) * 128
-    height_pad = -(-max(height, H_CLASSES[-1] + 8) // 8) * 8
+    height_pad = -(-max(height, 8 * SPAN_CLASSES[-1]) // 8) * 8
     fb = jnp.full((height_pad, width_pad), _EMPTY, jnp.int32)
 
     # ONE keyed sort compacts every class at once: key = class*(n+1)+pos,
@@ -410,21 +410,21 @@ def raster_frame_pallas(clip, normal, valid, width: int, height: int, *,
     n = live.shape[0]
     stride = jnp.int32(n + 1)
     pos = jnp.arange(n, dtype=_I32)
-    class_id = jnp.full((n,), len(H_CLASSES) + 1, _I32)     # dead last
+    class_id = jnp.full((n,), len(SPAN_CLASSES) + 1, _I32)  # dead last
     need_huge = live & ~eligible
-    class_id = jnp.where(need_huge, len(H_CLASSES), class_id)
-    for c in reversed(range(len(H_CLASSES))):
-        class_id = jnp.where(eligible & (bh <= H_CLASSES[c]),
+    class_id = jnp.where(need_huge, len(SPAN_CLASSES), class_id)
+    for c in reversed(range(len(SPAN_CLASSES))):
+        class_id = jnp.where(eligible & (span <= SPAN_CLASSES[c]),
                              jnp.int32(c), class_id)
     sorted_keys = jax.lax.sort(class_id * stride + pos)
     # pad with dead keys so fixed-size class slices exist even when the
     # scene has fewer triangles than a class cap
     pad_len = max(max(caps), huge_cap)
     sorted_keys = jnp.pad(sorted_keys, (0, pad_len),
-                          constant_values=(len(H_CLASSES) + 1) * (n + 1))
+                          constant_values=(len(SPAN_CLASSES) + 1) * (n + 1))
 
     counts = [jnp.sum((class_id == c).astype(_I32))
-              for c in range(len(H_CLASSES) + 1)]
+              for c in range(len(SPAN_CLASSES) + 1)]
 
     def _segment(c, off, cap):
         seg = jax.lax.dynamic_slice(sorted_keys, (off,), (cap,))
@@ -433,20 +433,20 @@ def raster_frame_pallas(clip, normal, valid, width: int, height: int, *,
     n_per_class = []
     overflowed = jnp.bool_(False)
     off = jnp.int32(0)
-    for c, (maxh, cap) in enumerate(zip(H_CLASSES, caps)):
+    for c, (cspan, cap) in enumerate(zip(SPAN_CLASSES, caps)):
         idxs = _segment(c, off, cap)
         off = off + counts[c]
         recs = cov._gather_packed_t(tm, idxs)
-        fb = _run_class(recs, fb, maxh=maxh, cap=cap, width_pad=width_pad,
-                        height_pad=height_pad, interpret=interpret,
-                        wireframe=wireframe)
+        fb = _run_class(recs, fb, winh=8 * cspan, cap=cap,
+                        width_pad=width_pad, height_pad=height_pad,
+                        interpret=interpret, wireframe=wireframe)
         n_per_class.append(counts[c])
         overflowed = overflowed | (counts[c] > cap)
 
     # huge triangles: bbox-bounded Pallas scan (one grid step per record,
     # fori_loops over the bbox's 32x128 tiles — see _huge_class_kernel)
-    hg_idx = _segment(len(H_CLASSES), off, huge_cap)
-    n_huge = counts[len(H_CLASSES)]
+    hg_idx = _segment(len(SPAN_CLASSES), off, huge_cap)
+    n_huge = counts[len(SPAN_CLASSES)]
     recs_h = cov._gather_packed_t(tm, hg_idx)
     overflowed = overflowed | (n_huge > huge_cap)
     fb = jax.lax.cond(
