@@ -46,7 +46,7 @@ _I32 = jnp.int32
 
 
 class DeviceFrame(NamedTuple):
-    image: jnp.ndarray        # (H, W) f32
+    image: jnp.ndarray        # (H, W) f32 (u8 when DeviceRenderer(fetch="u8"))
     depth: jnp.ndarray        # (H, W) f32
     n_leaves: jnp.ndarray     # () i32
     n_generated: jnp.ndarray  # () i32
@@ -302,15 +302,34 @@ class DeviceRenderer:
     scatter compiled standalone (~0.1 vs ~3 Gfragments/s on v5e).
     """
 
-    def __init__(self, cfg: EngineConfig, width: int, height: int, **kw):
+    def __init__(self, cfg: EngineConfig, width: int, height: int, *,
+                 fetch: str = "f32", **kw):
         from planet_tpu.engine.planet import _raster_fn
+        if fetch not in ("f32", "u8"):
+            raise ValueError(fetch)
         self.cfg = cfg
         self.width, self.height = int(width), int(height)
+        self.fetch = fetch
         self._geom = build_device_render(cfg, self.width, self.height,
                                          stop_after="geometry", **kw)
-        self._raster = _raster_fn(self.width, self.height,
-                                  cfg.raster_supersample, False,
-                                  cfg.raster_mode)
+        raster = _raster_fn(self.width, self.height,
+                            cfg.raster_supersample, False, cfg.raster_mode)
+        if fetch == "u8":
+            # Quantize the shade image to u8 ON DEVICE, exactly as
+            # io/png.write_png does host-side, so the per-frame fetch is
+            # 4x smaller (1080p: 8.3 MB f32 -> 2.07 MB) and the PNG bytes
+            # are bit-identical. The depth buffer stays f32 but is lazy —
+            # only fetched if the caller touches frame.depth.
+            def raster_u8(clip, vshade, normal, valid, world, snormal):
+                image, depthbuf = raster(clip, vshade, normal, valid,
+                                         world, snormal)
+                u8 = (jnp.clip(image, 0.0, 1.0) * np.float32(255.0)
+                      + np.float32(0.5)).astype(jnp.uint8)
+                return u8, depthbuf
+
+            self._raster = jax.jit(raster_u8)
+        else:
+            self._raster = raster
 
     def init_pool(self) -> dp.PoolState:
         return dp.init(self.cfg.cache_capacity, self.cfg.tile_dim)

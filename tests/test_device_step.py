@@ -179,3 +179,28 @@ def test_words_dfs_key_matches_host_order():
     dev_order = np.lexsort((np.asarray(klo), np.asarray(khi)))
     host_order = np.argsort(host_keys, kind="stable")
     np.testing.assert_array_equal(dev_order, host_order)
+
+
+def test_u8_fetch_matches_png_quantization():
+    """DeviceRenderer(fetch="u8") quantizes on device exactly as
+    io/png.write_png does on host, so the 4x-smaller fetch changes no
+    PNG byte (round-2 VERDICT: shrink the per-frame fetch)."""
+    cam = cam_mod.Camera(
+        position=2.2 * CFG.radius * np.array([0.1, 0.0, -1.0]),
+        angles=np.array([np.pi / 2, 0.0, 0.0], np.float32))
+    cam_df = dfm.from_f64(cam.position)
+    a = (np.asarray(cam_df.hi), np.asarray(cam_df.lo), _vp(cam))
+
+    kw = dict(cap=1024, gen_cap=128, render_cap=128, max_lod=4,
+              probe="zero", interpret=True)
+    rf = device_step.DeviceRenderer(CFG, W, H, **kw)
+    ru = device_step.DeviceRenderer(CFG, W, H, fetch="u8", **kw)
+
+    _, fr_f32 = rf.render(rf.init_pool(), *a)
+    _, fr_u8 = ru.render(ru.init_pool(), *a)
+
+    img = np.asarray(fr_f32.image)
+    want = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    got = np.asarray(fr_u8.image)
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(got, want)

@@ -111,3 +111,47 @@ def test_device_refine_overflow_flag():
         np.asarray(cam_df.hi), np.asarray(cam_df.lo), lo, hi, ch, cl,
         max_lod=10, cap=64, radius=RADIUS, probe_fn_name="zero")
     assert bool(dev.overflowed)
+
+
+def test_device_refine_matches_host_at_max_depth_18():
+    """Round-2 VERDICT item 5: DF split decisions at full reference depth.
+    At depth ~18 the quad diagonal is ~60 m and displaced-corner
+    coordinates burn most of an f32 mantissa on the planet radius — the
+    regime where plain f32 split decisions diverge from the reference's
+    double evaluation (main.cpp:546-571). Near-surface cameras force the
+    deepest splits; device leaf sets must equal the f64 host refiner's
+    exactly."""
+    max_lod = 18
+    lo, hi, ch, cl = _roots()
+
+    # two near-surface cameras over distinct terrain (one on a face
+    # center, one near a cube edge where root quads are most distorted),
+    # placed relative to the DISPLACED surface (terrain height at the
+    # camera direction) so the deepest quads actually split
+    dirs = [np.array([0.12, 0.08, -1.0]), np.array([0.9, 0.1, -1.0])]
+    for alt in (40.0, 900.0):
+        for cdir in dirs:
+            cdir = cdir / np.linalg.norm(cdir)
+            h = float(_ridged6_height_fn((cdir * RADIUS)[None, :])[0])
+            cam = cdir * (RADIUS + h + alt)
+
+            host = refine.refine(cam, max_lod, RADIUS,
+                                 height_fn=_ridged6_height_fn)
+
+            cam_df = dfm.from_f64(cam)
+            dev = refine_device.refine_device(
+                np.asarray(cam_df.hi), np.asarray(cam_df.lo), lo, hi, ch,
+                cl, max_lod=max_lod, cap=16384, radius=RADIUS,
+                probe_fn_name="ridged6")
+            assert not bool(dev.overflowed)
+            n = int(dev.n_leaves)
+            got = set(int(q) for q in quadid.from_words(
+                np.asarray(dev.leaf_lo[:n]), np.asarray(dev.leaf_hi[:n])))
+            want = set(int(q) for q in host.ids)
+            assert got == want, (
+                f"alt={alt} dir={cdir}: {len(got - want)} extra, "
+                f"{len(want - got)} missing of {len(want)} leaves")
+            # the scene must actually reach full depth for the test to
+            # bite (40 m above the displaced surface guarantees it)
+            if alt == 40.0:
+                assert int(np.asarray(dev.leaf_depth[:n]).max()) == max_lod
