@@ -8,12 +8,21 @@ becomes a `lax.while_loop` over fixed-capacity padded buffers:
     state = (frontier ids/corners/depth + count, leaf ids/corners/depth + count)
     body  = probe heights for every active slot -> split mask ->
             compact leaves into the leaf buffer, expand splits x4 into the
-            next frontier (masked scatter by prefix-sum offsets)
+            next frontier (sort-compaction + lane gathers; no scatters)
 
 Fixed shapes are mandatory under jit (SURVEY.md section 7); overflow beyond
 the static capacities is detected and reported via the returned flags (the
 engine treats it as a failure-detection event and falls back to more
 conservative max_lod).
+
+Layout: corner buffers are LANE-MAJOR (12, N) f32 — row = corner*3 + axis,
+lane = quad slot. The natural (N, 4, 3) form tiles as T(4,128) on TPU: 12
+useful elements per 512-element tile, which made every while-state copy and
+leaf-append window run at ~1 GB/s effective (trace: 0.3-0.4 ms per level of
+pure state movement). (12, N) tiles as (16, 128) sublane-padded — 1.3x
+bloat instead of 42x — and turns the compaction gathers into cheap
+lane-axis takes. All arithmetic is elementwise in the slot index, so
+results are bit-identical to the row-major formulation.
 
 Double-float corners: subdivision re-projects midpoints to the sphere
 (main.cpp:581-594) with DF normalize (~1e-13 relative), keeping split
@@ -39,7 +48,7 @@ _I32 = jnp.int32
 class DeviceRefineResult(NamedTuple):
     leaf_lo: jnp.ndarray       # (CAP,) int32 id words
     leaf_hi: jnp.ndarray
-    leaf_corners_hi: jnp.ndarray   # (CAP, 4, 3) f32
+    leaf_corners_hi: jnp.ndarray   # (CAP, 4, 3) f32 — or (12, CAP) if transposed
     leaf_corners_lo: jnp.ndarray
     leaf_depth: jnp.ndarray    # (CAP,) int32
     n_leaves: jnp.ndarray      # () int32
@@ -96,12 +105,54 @@ def _subdivide(ch, cl, radius):
     return kids_hi, kids_lo       # (N, 4child, 4corner, 3)
 
 
+def _subdivide_t(ch, cl, radius):
+    """Lane-major twin of _subdivide: (12, W) DF corners -> (12, 4*W)
+    children in CHILD-BLOCKED lane order (child c of slot p at lane
+    c*W + p). Same DF op sequence per element as _subdivide."""
+    W = ch.shape[1]
+    rh = np.float32(radius)
+    rl = np.float32(np.float64(radius) - np.float64(rh))
+
+    def corner(c):
+        # [(x), (y), (z)] DF rows of corner c
+        return [dfm.DF(ch[3 * c + a], cl[3 * c + a]) for a in range(3)]
+
+    def mid2(i, j):
+        ci, cj = corner(i), corner(j)
+        return [dfm.add(ci[a], cj[a]) for a in range(3)]
+
+    def proj(p):
+        ox, oy, oz = _df_normalize3(
+            p[0].hi, p[0].lo, p[1].hi, p[1].lo, p[2].hi, p[2].lo, rh, rl)
+        return [ox, oy, oz]
+
+    e01 = proj(mid2(0, 1))
+    e02 = proj(mid2(0, 2))
+    e13 = proj(mid2(1, 3))
+    e23 = proj(mid2(2, 3))
+    s01 = mid2(0, 1)
+    s23 = mid2(2, 3)
+    m = proj([dfm.add(s01[a], s23[a]) for a in range(3)])
+
+    items = [corner(0), e01, corner(1), e02, m, e13, corner(2), e23,
+             corner(3)]
+    sel = [[0, 1, 3, 4], [1, 2, 4, 5], [3, 4, 6, 7], [4, 5, 7, 8]]
+    rows_hi, rows_lo = [], []
+    for k in range(4):                      # corner index of the child
+        for a in range(3):                  # axis
+            rows_hi.append(jnp.concatenate(
+                [items[sel[c][k]][a].hi for c in range(4)]))
+            rows_lo.append(jnp.concatenate(
+                [items[sel[c][k]][a].lo for c in range(4)]))
+    return jnp.stack(rows_hi), jnp.stack(rows_lo)     # (12, 4W)
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "max_lod", "cap", "radius", "probe_fn_name", "tight"))
+    "max_lod", "cap", "radius", "probe_fn_name", "tight", "transposed"))
 def refine_device(cam_hi, cam_lo, root_lo, root_hi, root_ch, root_cl,
                   *, max_lod: int, cap: int, radius: float,
                   probe_fn_name: str = "zero", root_depth=None,
-                  tight: int = 512):
+                  tight=(128, 512), transposed: bool = False):
     """Full-device refinement. Roots: (R,) id words + (R, 4, 3) DF corners
     — the 6 cube faces by default, or any frontier of same-tree quads (the
     sharded engine refines per-chip SUBTREES from depth-1 roots,
@@ -113,53 +164,69 @@ def refine_device(cam_hi, cam_lo, root_lo, root_hi, root_ch, root_cl,
     ConstantZero generator, main.cpp:836-841) — the noisy probe variant is
     composed at the engine level where the Pallas kernel is available.
 
-    tight: static width of the fast per-level path — a level whose
-    frontier fits in `tight` slots runs all frontier-wide math (probes,
-    split metric, subdivision) on [:tight] slices instead of the full
-    cap (bit-identical results; only dead-slot work is skipped).
+    tight: ladder of static frontier widths (int or tuple) — a level runs
+    at the narrowest ladder width that holds its frontier, falling back to
+    the full cap (bit-identical results; only dead-slot work is skipped —
+    product cameras keep frontiers at a few hundred slots while cap covers
+    adversarial scenes).
+
+    transposed=True returns leaf_corners_hi/lo in the internal lane-major
+    (12, cap) layout (row = corner*3 + axis) — the fused engine consumes
+    this directly so the post-sort permutation is a lane gather; the
+    default converts back to (cap, 4, 3).
     """
     n0 = root_lo.shape[0]
-    tight_w = max(min(int(tight), cap), 4)
+    if isinstance(tight, int):
+        tight = (tight,)
+    ladder = sorted({max(min(int(w), cap), 4) for w in tight if w < cap})
 
-    def pad(a, shape, dtype):
-        out = jnp.zeros(shape, dtype)
+    def pad1(a, n, dtype):
+        out = jnp.zeros((n,), dtype)
         return out.at[:a.shape[0]].set(a)
 
-    f_lo = pad(root_lo, (cap,), _I32)
-    f_hi = pad(root_hi, (cap,), _I32)
-    f_ch = pad(root_ch, (cap, 4, 3), _F32)
-    f_cl = pad(root_cl, (cap, 4, 3), _F32)
+    def pad_t(a, n):
+        # (R, 4, 3) -> (12, n) lane-major
+        t = jnp.transpose(jnp.asarray(a, _F32), (1, 2, 0)).reshape(
+            12, a.shape[0])
+        out = jnp.zeros((12, n), _F32)
+        return out.at[:, :a.shape[0]].set(t)
+
+    f_lo = pad1(root_lo, cap, _I32)
+    f_hi = pad1(root_hi, cap, _I32)
+    f_ch = pad_t(root_ch, cap)
+    f_cl = pad_t(root_cl, cap)
     if root_depth is None:
         f_depth = jnp.zeros((cap,), _I32)
     else:
-        f_depth = pad(jnp.asarray(root_depth, _I32), (cap,), _I32)
+        f_depth = pad1(jnp.asarray(root_depth, _I32), cap, _I32)
     f_n = jnp.int32(n0)
 
-    # leaf buffers carry 2*cap rows so the append window (dynamic slice of
-    # cap rows at offset l_n <= cap) stays in bounds; trimmed on return
+    # leaf buffers carry 2*cap slots so the append window (dynamic slice of
+    # cap lanes at offset l_n <= cap) stays in bounds; trimmed on return
     l_lo = jnp.zeros((2 * cap,), _I32)
     l_hi = jnp.zeros((2 * cap,), _I32)
-    l_ch = jnp.zeros((2 * cap, 4, 3), _F32)
-    l_cl = jnp.zeros((2 * cap, 4, 3), _F32)
+    l_ch = jnp.zeros((12, 2 * cap), _F32)
+    l_cl = jnp.zeros((12, 2 * cap), _F32)
     l_depth = jnp.zeros((2 * cap,), _I32)
     l_n = jnp.int32(0)
     overflow = jnp.bool_(False)
 
     cam = dfm.DF(jnp.asarray(cam_hi, _F32), jnp.asarray(cam_lo, _F32))
 
-    def probe_heights(ch, cl):
-        """(cap, 5, 3) DF probe positions -> (cap, 5) f32 heights."""
+    def probe_heights(ph, pl):
+        """(5, W) DF probe positions per axis -> (5, W) f32 heights."""
         if probe_fn_name == "zero":
-            return jnp.zeros(ch.shape[:-1], _F32)
+            return jnp.zeros(ph[0].hi.shape[:1] + ph[0].hi.shape[1:], _F32) \
+                if False else jnp.zeros(ph[0].hi.shape, _F32)
         if probe_fn_name == "ridged6":
             # the production terrain at (depth=0, max_depth=1): 6 octaves
             # (reference ProcessQuad probes, main.cpp:552-556 / 823-832)
             from planet_tpu.ops.kernels import perlin_pallas as pk
             sh = np.float32(1e-5)
             sl = np.float32(np.float64(1e-5) - np.float64(sh))
-            xh, xl = pk._df_scale(ch[..., 0], cl[..., 0], sh, sl)
-            yh, yl = pk._df_scale(ch[..., 1], cl[..., 1], sh, sl)
-            zh, zl = pk._df_scale(ch[..., 2], cl[..., 2], sh, sl)
+            xh, xl = pk._df_scale(ph[0].hi, ph[0].lo, sh, sl)
+            yh, yl = pk._df_scale(ph[1].hi, ph[1].lo, sh, sl)
+            zh, zl = pk._df_scale(ph[2].hi, ph[2].lo, sh, sl)
             h = pk.noise_df("ridged", xh, xl, yh, yl, zh, zl,
                             octaves=6, gain=np.float32(0.55))
             return h * np.float32(8848.0)
@@ -167,14 +234,15 @@ def refine_device(cam_hi, cam_lo, root_lo, root_hi, root_ch, root_cl,
 
     def level_step(W, state):
         """One refinement level at static frontier width W <= cap: every
-        frontier-wide tensor is a [:W] slice. The per-level arithmetic is
-        elementwise in the slot index, so results are bit-identical to the
-        full-width body — only dead-slot work is skipped. The engine's
-        standing frontier buffers stay (cap,); children are padded back."""
+        frontier-wide tensor is a [:, :W] lane slice. The per-level
+        arithmetic is elementwise in the slot index, so results are
+        bit-identical to the full-width body — only dead-slot work is
+        skipped. The engine's standing frontier buffers stay (·, cap);
+        children are padded back."""
         (f_lo, f_hi, f_ch, f_cl, f_depth, f_n,
          l_lo, l_hi, l_ch, l_cl, l_depth, l_n, overflow, level) = state
         f_lo_w, f_hi_w = f_lo[:W], f_hi[:W]
-        f_ch_w, f_cl_w = f_ch[:W], f_cl[:W]
+        f_ch_w, f_cl_w = f_ch[:, :W], f_cl[:, :W]
         f_depth_w = f_depth[:W]
 
         active = jnp.arange(W) < f_n
@@ -183,17 +251,26 @@ def refine_device(cam_hi, cam_lo, root_lo, root_hi, root_ch, root_cl,
         # --- probes: 4 corners + sphere midpoint, displaced by heights
         rh = np.float32(radius)
         rl = np.float32(np.float64(radius) - np.float64(rh))
-        csum_h = f_ch_w.sum(axis=1)
-        csum_l = f_cl_w.sum(axis=1)        # adequate: used via DF normalize
+        # corner sum per axis, sequential corner order (0+1)+2)+3 — the
+        # value only feeds the DF normalize (midpoint), same as before
+        csum_h = [((f_ch_w[a] + f_ch_w[3 + a]) + f_ch_w[6 + a])
+                  + f_ch_w[9 + a] for a in range(3)]
+        csum_l = [((f_cl_w[a] + f_cl_w[3 + a]) + f_cl_w[6 + a])
+                  + f_cl_w[9 + a] for a in range(3)]
         mx, my, mz = _df_normalize3(
-            csum_h[:, 0], csum_l[:, 0], csum_h[:, 1], csum_l[:, 1],
-            csum_h[:, 2], csum_l[:, 2], rh, rl)
-        mid_h = jnp.stack([mx.hi, my.hi, mz.hi], 1)
-        mid_l = jnp.stack([mx.lo, my.lo, mz.lo], 1)
+            csum_h[0], csum_l[0], csum_h[1], csum_l[1],
+            csum_h[2], csum_l[2], rh, rl)
+        mid = [mx, my, mz]
 
-        probes_h = jnp.concatenate([f_ch_w, mid_h[:, None, :]], axis=1)
-        probes_l = jnp.concatenate([f_cl_w, mid_l[:, None, :]], axis=1)
-        hts = probe_heights(probes_h, probes_l)              # (W, 5)
+        # probe positions per axis: (5, W) = 4 corners + midpoint
+        probes = []
+        for a in range(3):
+            hi = jnp.stack([f_ch_w[0 + a], f_ch_w[3 + a], f_ch_w[6 + a],
+                            f_ch_w[9 + a], mid[a].hi])
+            lo = jnp.stack([f_cl_w[0 + a], f_cl_w[3 + a], f_cl_w[6 + a],
+                            f_cl_w[9 + a], mid[a].lo])
+            probes.append(dfm.DF(hi, lo))
+        hts = probe_heights(probes, None)                    # (5, W)
 
         # Split decision entirely in double-float so device leaf sets are
         # bit-stable vs the f64 host refiner (the reference evaluates
@@ -201,9 +278,7 @@ def refine_device(cam_hi, cam_lo, root_lo, root_hi, root_ch, root_cl,
         # p * (1 + h/|p|), diagonals, camera-relative distances, and the
         # lod-scaled threshold all carry ~1e-14 relative error, so a
         # decision can only differ from the host's within that margin.
-        px = dfm.DF(probes_h[..., 0], probes_l[..., 0])
-        py = dfm.DF(probes_h[..., 1], probes_l[..., 1])
-        pz = dfm.DF(probes_h[..., 2], probes_l[..., 2])
+        px, py, pz = probes
         plen = dfm.sqrt(dfm.dot3(px, py, pz, px, py, pz))
         one = dfm.from_f32(jnp.float32(1.0))
         scale = dfm.add(one, dfm.div(dfm.from_f32(hts), plen))
@@ -212,7 +287,7 @@ def refine_device(cam_hi, cam_lo, root_lo, root_hi, root_ch, root_cl,
         dz = dfm.mul(pz, scale)
 
         def at(c, i):
-            return dfm.DF(c.hi[:, i], c.lo[:, i])
+            return dfm.DF(c.hi[i], c.lo[i])
 
         d30 = [dfm.sub(at(c, 3), at(c, 0)) for c in (dx, dy, dz)]
         d21 = [dfm.sub(at(c, 2), at(c, 1)) for c in (dx, dy, dz)]
@@ -221,59 +296,61 @@ def refine_device(cam_hi, cam_lo, root_lo, root_hi, root_ch, root_cl,
         denom = dfm.add(one, dfm.div(
             dfm.mul(dfm.from_f32(jnp.float32(2.5)), dfm.from_f32(lodf)),
             dfm.from_f32(jnp.float32(max_lod))))
-        d = dfm.div(diag, denom)                             # (cap,) DF
+        d = dfm.div(diag, denom)                             # (W,) DF
 
         relx = dfm.sub(dx, dfm.DF(cam.hi[0], cam.lo[0]))
         rely = dfm.sub(dy, dfm.DF(cam.hi[1], cam.lo[1]))
         relz = dfm.sub(dz, dfm.DF(cam.hi[2], cam.lo[2]))
-        dist2 = dfm.dot3(relx, rely, relz, relx, rely, relz)  # (cap, 5) DF
+        dist2 = dfm.dot3(relx, rely, relz, relx, rely, relz)  # (5, W) DF
         lhs = dfm.mul_pow2(dist2, jnp.float32(2.0))
         # lexicographic DF compare (canonical (hi, lo) pairs)
-        closer = (lhs.hi < d.hi[:, None]) | (
-            (lhs.hi == d.hi[:, None]) & (lhs.lo < d.lo[:, None]))
-        split = active & (lodv > 0) & closer.any(axis=1)
+        closer = (lhs.hi < d.hi[None, :]) | (
+            (lhs.hi == d.hi[None, :]) & (lhs.lo < d.lo[None, :]))
+        split = active & (lodv > 0) & closer.any(axis=0)
         leaf = active & ~split
 
         # --- append compacted leaves at offset l_n (scatter-free: sort the
-        # leaf mask for source positions, gather rows, then merge a
-        # W-sized window with dynamic slice/update — XLA scatters cost
-        # ~7 ns/element on TPU; the leaf buffers are 2*cap rows so the
-        # window never runs off the end)
+        # leaf mask for source positions, lane-gather, then merge a W-lane
+        # window with dynamic slice/update — XLA scatters cost ~7 ns/
+        # element on TPU; the leaf buffers are 2*cap lanes so the window
+        # never runs off the end)
         n_leaf = jnp.sum(leaf.astype(_I32))
         lkeys = jnp.where(leaf, jnp.arange(W, dtype=_I32), jnp.int32(W))
         src = jax.lax.sort(lkeys)                      # (W,) pad = W
         fresh = jnp.arange(W) < n_leaf
 
-        def append(buf, val):
-            gathered = jnp.pad(
-                val, ((0, 1),) + ((0, 0),) * (val.ndim - 1))[src]
-            start = (l_n,) + (jnp.int32(0),) * (buf.ndim - 1)
-            old = jax.lax.dynamic_slice(
-                buf, start, (W,) + buf.shape[1:])
-            mask = fresh.reshape((W,) + (1,) * (val.ndim - 1))
+        def append1(buf, val):
+            gathered = jnp.pad(val, (0, 1))[src]
+            old = jax.lax.dynamic_slice(buf, (l_n,), (W,))
             return jax.lax.dynamic_update_slice(
-                buf, jnp.where(mask, gathered, old), start)
+                buf, jnp.where(fresh, gathered, old), (l_n,))
 
-        l_lo = append(l_lo, f_lo_w)
-        l_hi = append(l_hi, f_hi_w)
-        l_ch = append(l_ch, f_ch_w)
-        l_cl = append(l_cl, f_cl_w)
-        l_depth = append(l_depth, f_depth_w)
+        def append_t(buf, val):
+            gathered = jnp.pad(val, ((0, 0), (0, 1)))[:, src]
+            old = jax.lax.dynamic_slice(buf, (jnp.int32(0), l_n), (12, W))
+            return jax.lax.dynamic_update_slice(
+                buf, jnp.where(fresh[None, :], gathered, old),
+                (jnp.int32(0), l_n))
+
+        l_lo = append1(l_lo, f_lo_w)
+        l_hi = append1(l_hi, f_hi_w)
+        l_ch = append_t(l_ch, f_ch_w)
+        l_cl = append_t(l_cl, f_cl_w)
+        l_depth = append1(l_depth, f_depth_w)
         new_l_n = (l_n + n_leaf).astype(_I32)
         overflow = overflow | (new_l_n > cap)
         l_n = jnp.minimum(new_l_n, cap).astype(_I32)
 
         # --- expand splits (gather formulation: XLA lowers scatters to
-        # ~7 ns/element loops on TPU, so the old 20-scatters-per-level
-        # expansion dominated refinement; one small sort + row gathers
+        # ~7 ns/element loops on TPU; one small sort + lane gathers
         # produce the identical child ordering)
-        kids_h, kids_l = _subdivide(f_ch_w, f_cl_w, radius)  # (W,4,4,3)
-        child_lo = jnp.stack(
+        kids_h, kids_l = _subdivide_t(f_ch_w, f_cl_w, radius)  # (12, 4W)
+        child_lo = jnp.concatenate(
             [quadid.words_make_child(f_lo_w, f_hi_w, jnp.int32(c))[0]
-             for c in range(4)], axis=1)
-        child_hi = jnp.stack(
+             for c in range(4)])                               # (4W,) blocked
+        child_hi = jnp.concatenate(
             [quadid.words_make_child(f_lo_w, f_hi_w, jnp.int32(c))[1]
-             for c in range(4)], axis=1)
+             for c in range(4)])
 
         wc = min(4 * W, cap)                   # children live in [:wc]
         n_split = jnp.sum(split.astype(_I32))
@@ -284,19 +361,22 @@ def refine_device(cam_hi, cam_lo, root_lo, root_hi, root_ch, root_cl,
         pr = j // 4
         cidx = j % 4
         ok_child = pr < jnp.minimum(n_split, wc // 4)
-        psel = jnp.where(ok_child, spad[pr], jnp.int32(W))
+        # child-blocked lane index into the (·, 4W) children (4W for dead)
+        psel = jnp.where(ok_child, cidx * W + spad[pr], jnp.int32(4 * W))
+        pslot = jnp.where(ok_child, spad[pr], jnp.int32(W))
 
-        def gpad(a):
-            return jnp.pad(a, ((0, 1),) + ((0, 0),) * (a.ndim - 1))
+        def cpad1(a):
+            return jnp.pad(a, (0, cap - wc))
 
-        def cpad(a):
-            return jnp.pad(a, ((0, cap - wc),) + ((0, 0),) * (a.ndim - 1))
+        def cpad_t(a):
+            return jnp.pad(a, ((0, 0), (0, cap - wc)))
 
-        nf_lo = cpad(gpad(child_lo)[psel, cidx])
-        nf_hi = cpad(gpad(child_hi)[psel, cidx])
-        nf_ch = cpad(gpad(kids_h)[psel, cidx])
-        nf_cl = cpad(gpad(kids_l)[psel, cidx])
-        nf_depth = cpad(jnp.where(ok_child, gpad(f_depth_w)[psel] + 1, 0))
+        nf_lo = cpad1(jnp.pad(child_lo, (0, 1))[psel])
+        nf_hi = cpad1(jnp.pad(child_hi, (0, 1))[psel])
+        nf_ch = cpad_t(jnp.pad(kids_h, ((0, 0), (0, 1)))[:, psel])
+        nf_cl = cpad_t(jnp.pad(kids_l, ((0, 0), (0, 1)))[:, psel])
+        nf_depth = cpad1(jnp.where(
+            ok_child, jnp.pad(f_depth_w, (0, 1))[pslot] + 1, 0))
         f_n = jnp.minimum(n_split * 4, cap).astype(_I32)
 
         return (nf_lo, nf_hi, nf_ch, nf_cl,
@@ -304,18 +384,17 @@ def refine_device(cam_hi, cam_lo, root_lo, root_hi, root_ch, root_cl,
                 l_lo, l_hi, l_ch, l_cl, l_depth, l_n, overflow, level + 1)
 
     def body(state):
-        """A level runs at the tight width when the frontier fits (the
-        common case at product cameras: frontiers are a few hundred while
-        cap covers adversarial scenes) and at full cap otherwise — the
-        (cap, 5)-point DF terrain probes were ~60% of the refine stage
-        when frontiers were ~200 of 4096 slots."""
-        if tight_w >= cap:
-            return level_step(cap, state)
-        f_n = state[5]
-        return jax.lax.cond(
-            f_n <= tight_w,
-            functools.partial(level_step, tight_w),
-            functools.partial(level_step, cap), state)
+        """A level runs at the narrowest ladder width that holds its
+        frontier (product cameras keep frontiers at a few hundred slots
+        while cap covers adversarial scenes) — the (·, 5)-point DF terrain
+        probes were ~60% of the refine stage when frontiers were ~200 of
+        4096 slots."""
+        fn = functools.partial(level_step, cap)
+        for w in reversed(ladder):
+            fn = (lambda w, inner: lambda s: jax.lax.cond(
+                s[5] <= w, functools.partial(level_step, w), inner, s))(
+                    w, fn)
+        return fn(state)
 
     def cond(state):
         f_n, level = state[5], state[13]
@@ -326,5 +405,9 @@ def refine_device(cam_hi, cam_lo, root_lo, root_hi, root_ch, root_cl,
     state = jax.lax.while_loop(cond, body, state)
     (_, _, _, _, _, _,
      l_lo, l_hi, l_ch, l_cl, l_depth, l_n, overflow, _) = state
-    return DeviceRefineResult(l_lo[:cap], l_hi[:cap], l_ch[:cap],
-                              l_cl[:cap], l_depth[:cap], l_n, overflow)
+    c_hi, c_lo = l_ch[:, :cap], l_cl[:, :cap]
+    if not transposed:
+        c_hi = jnp.transpose(c_hi.reshape(4, 3, cap), (2, 0, 1))
+        c_lo = jnp.transpose(c_lo.reshape(4, 3, cap), (2, 0, 1))
+    return DeviceRefineResult(l_lo[:cap], l_hi[:cap], c_hi, c_lo,
+                              l_depth[:cap], l_n, overflow)

@@ -44,8 +44,7 @@ def test_device_step_frame_matches_golden():
     ch, cl = dfm.from_f64_np(cam_pos)
 
     step = device_step.build_device_render(
-        cfg, W, H, cap=4096, render_cap=512,
-        gen_cap=cfg.generations_per_frame + 8,
+        cfg, W, H, cap=4096, render_cap=512, gen_cap=128,
         probe="ridged6", interpret=True)
     pool = dp.init(cfg.cache_capacity, cfg.tile_dim)
 
