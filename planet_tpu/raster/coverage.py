@@ -214,8 +214,15 @@ def _fragments(t: _Tris, live, px, py, width: int, height: int,
         DY = (yb - ya) * fs
         c = DX * (oy - ya) - DY * (ox - xa)
         e = (DX * ry - DY * rx) + c
+        # top-left rule as ONE compare: e is an exact multiple of 1/256
+        # inside the exactness domain (1/16-snapped coords), so
+        # (e > 0) | ((e == 0) & topleft)  ==  e > (topleft ? -1/512 : 1/512).
+        # The Pallas engine reads the same +-1/512 bias precomputed in the
+        # record (_setup_t row 29-31), keeping the two paths bit-identical
+        # (outside the exact domain both evaluate the same biased compare).
         topleft = (DY < 0.0) | ((DY == 0.0) & (DX > 0.0))
-        return e, (e > 0.0) | ((e == 0.0) & topleft), DX, DY
+        bias = jnp.where(topleft, np.float32(-1 / 512), np.float32(1 / 512))
+        return e, e > bias, DX, DY
 
     e0, a0, dx0, dy0 = edge(x[1], y[1], x[2], y[2])   # opposite vertex 0
     e1, a1, dx1, dy1 = edge(x[2], y[2], x[0], y[0])
@@ -361,7 +368,8 @@ def _setup_t(clip, normal, valid, width: int, height: int, cell_mask=None):
     opposite vertices 0/1/2 (FRONT_SIGN and bbox-min folded); 9-11 z and
     12-14 1/w barycentric coefficients, inv_area folded; 15-23 normal*1/w
     coefficients (vertex-major x,y,z), inv_area folded; 24-27 clamped
-    bbox (px0, py0, px1, py1); 28 live flag.
+    bbox (px0, py0, px1, py1); 28 live flag; 29-31 per-edge top-left
+    accept bias (+-1/512, see _fragments' one-compare fill rule).
 
     The candidate index space here is (parity, q, r, c) over the FULL
     G x G grid flattened to lane-major (Q, G*G) rows — cells in the last
@@ -458,11 +466,16 @@ def _setup_t(clip, normal, valid, width: int, height: int, cell_mask=None):
         DX = (xb - xa) * FRONT_SIGN
         DY = (yb - ya) * FRONT_SIGN
         c = DX * (oy - ya) - DY * (ox - xa)
-        return DX, DY, c
+        topleft = (DY < 0.0) | ((DY == 0.0) & (DX > 0.0))
+        # accept-bias for the one-compare top-left rule (see _fragments):
+        # precomputed lane-parallel here; per record on the kernel's scalar
+        # unit it would cost ~12 scalar ops
+        bias = jnp.where(topleft, np.float32(-1 / 512), np.float32(1 / 512))
+        return DX, DY, c, bias
 
-    dx0, dy0, c0 = edge_consts(x1, y1, x2, y2)         # opposite vertex 0
-    dx1, dy1, c1 = edge_consts(x2, y2, x0, y0)
-    dx2, dy2, c2 = edge_consts(x0, y0, x1, y1)
+    dx0, dy0, c0, b0 = edge_consts(x1, y1, x2, y2)     # opposite vertex 0
+    dx1, dy1, c1, b1 = edge_consts(x2, y2, x0, y0)
+    dx2, dy2, c2, b2 = edge_consts(x0, y0, x1, y1)
 
     rows = [dx0, dy0, c0, dx1, dy1, c1, dx2, dy2, c2,
             z0 * inv_area, z1 * inv_area, z2 * inv_area,
@@ -472,7 +485,8 @@ def _setup_t(clip, normal, valid, width: int, height: int, cell_mask=None):
             nx2 * inv_area, ny2 * inv_area, nz2 * inv_area,
             px0c.astype(_F32), py0c.astype(_F32),
             px1c.astype(_F32), py1c.astype(_F32),
-            live.astype(_F32)]
+            live.astype(_F32),
+            b0, b1, b2]
     tm = jnp.concatenate([r[None, :].astype(_F32) for r in rows], axis=0)
     tm = jnp.pad(tm, ((0, _REC_COLS - tm.shape[0]), (0, 1)))
     # aligned 8-row block span: how many sublane-aligned framebuffer row
@@ -482,17 +496,84 @@ def _setup_t(clip, normal, valid, width: int, height: int, cell_mask=None):
     return tm, live, px1c - px0c + 1, py1c - py0c + 1, span
 
 
-def _gather_packed_t(mt, idxs):
-    """Column-gather of transposed records -> (len(idxs), 32) row records
-    (same values as _gather_packed; the pad index hits the zero column).
+def _quad_live_t(clip, valid, width: int, height: int, cell_mask=None):
+    """Per-quad liveness + exact live-triangle count, mirroring _setup_t.
 
-    The optimization barrier stops XLA from fusing the transpose INTO the
-    gather — fused, it re-emits the slow row-gather this layout exists to
-    avoid (trace: 1.9 ms vs 0.03 + 0.2 ms split for a 38912-record class)."""
+    Returns (quad_live (Q,) bool, n_live () i32). quad_live[q] is True iff
+    ANY of quad q's cell triangles is live under EXACTLY _setup_t's rules
+    (same snapped coordinates, winding/area, bbox-nonempty, cell mask), so
+    compacting quads by this mask before _setup_t drops only quads that
+    contribute no fragments — the rasterized image is unchanged. ~25 ops
+    per candidate lane, ~0.1 ms at the 1080p LOD workload; it buys an ~8x
+    smaller candidate space for the sort/record/gather stages (the LOD
+    leaf set covers the whole planet, but only ~10-25% of rendered quads
+    face the camera inside the frustum)."""
+    w4 = clip[..., 3]
+    ok_w = valid & (w4 > _W_MIN)
+    inv_w = jnp.where(ok_w, 1.0 / jnp.where(ok_w, w4, 1.0), 0.0)
+    sx = (clip[..., 0] * inv_w * 0.5 + 0.5) * np.float32(width)
+    sy = (0.5 - clip[..., 1] * inv_w * 0.5) * np.float32(height)
+    sx = jnp.round(sx * SNAP) * INV_SNAP
+    sy = jnp.round(sy * SNAP) * INV_SNAP
+
+    q, g = w4.shape[0], w4.shape[1]
+
+    def tri3(a):
+        a = a.reshape(q, g * g)
+        g00 = a
+        g10 = jnp.roll(a, -g, axis=1)
+        g01 = jnp.roll(a, -1, axis=1)
+        g11 = jnp.roll(g10, -1, axis=1)
+        return (jnp.stack([g00, g01]), jnp.stack([g10, g10]),
+                jnp.stack([g01, g11]))                     # (2, Q, G*G)
+
+    x0, x1, x2 = tri3(sx)
+    y0, y1, y2 = tri3(sy)
+    o0, o1, o2 = tri3(ok_w)
+    tri_ok = o0 & o1 & o2
+    cell_ok = np.zeros((g, g), bool)
+    cell_ok[:g - 1, :g - 1] = True
+    if cell_mask is not None:
+        cm = np.asarray(cell_mask)
+        full = np.zeros((2, g, g), bool)
+        full[:, :g - 1, :g - 1] = cm
+        full = full & cell_ok[None]
+        tri_ok = tri_ok & jnp.asarray(full.reshape(2, 1, g * g))
+    else:
+        tri_ok = tri_ok & jnp.asarray(cell_ok.reshape(1, 1, g * g))
+
+    area2 = ((x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)) * FRONT_SIGN
+    front = area2 > 0.0
+    min_x = jnp.minimum(jnp.minimum(x0, x1), x2)
+    max_x = jnp.maximum(jnp.maximum(x0, x1), x2)
+    min_y = jnp.minimum(jnp.minimum(y0, y1), y2)
+    max_y = jnp.maximum(jnp.maximum(y0, y1), y2)
+    px0 = jnp.ceil(min_x - 0.5)
+    px1 = jnp.floor(max_x - 0.5)
+    py0 = jnp.ceil(min_y - 0.5)
+    py1 = jnp.floor(max_y - 0.5)
+    nonempty = ((jnp.maximum(px0, 0.0) <= jnp.minimum(px1, width - 1))
+                & (jnp.maximum(py0, 0.0) <= jnp.minimum(py1, height - 1)))
+    live = tri_ok & front & nonempty                       # (2, Q, G*G)
+    return live.any(axis=(0, 2)), jnp.sum(live.astype(_I32))
+
+
+def _gather_packed_t(mt, idxs):
+    """Column-gather of transposed records -> (32, len(idxs)), records
+    still as COLUMNS (same values as _gather_packed; the pad index hits
+    the zero column).
+
+    The result stays in the (32, K) lane-major layout end to end: the
+    Pallas kernels read records as (32, TRI_BLOCK) column blocks, so no
+    row-major (K, 32) relayout is ever forced. The relayout was the
+    hidden cost of this stage — the gather itself is ~free (fused lane
+    take), but materializing (K, 32){1,0} for a row-record kernel
+    operand cost ~0.85 ms per 65k records at 1080p (tiny-minor-dim tiled
+    copy). The barrier stops XLA from fusing the gather into every
+    downstream consumer."""
     n = mt.shape[1] - 1
     safe = jnp.minimum(idxs, n)
-    g = jax.lax.optimization_barrier(jnp.take(mt, safe, axis=1))
-    return g.T
+    return jax.lax.optimization_barrier(jnp.take(mt, safe, axis=1))
 
 
 def _row_job_pass(tt_m, job_idx, max_bh: int, win_w: int,

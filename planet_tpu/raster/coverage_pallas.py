@@ -49,13 +49,13 @@ WIN_W = 128                      # one lane-aligned framebuffer block
 MAX_BW = 128                     # widest bbox the ladder accepts
 SPAN_CLASSES = (1, 2, 3, 4, 8, 16)   # aligned 8-row block-span ladder
 # per-class triangle caps: ~1.35x the measured 1080p LOD demand
-# (15067/22611/7696/2098/888/14 at 20 km altitude). Fully-dead record
-# blocks are skipped in-kernel, but the XLA-side RECORD GATHER pays
-# ~50 ns per cap row whether live or dead, so caps are sized tight;
+# (15067/22611/7696/2098/888/14 at 20 km altitude), rounded up to
+# TRI_BLOCK. Dead records (cap padding) cost one scalar flag read each;
 # overflow is counted, never silent. The 16-block class exists so
 # near-silhouette tall triangles stay off the serial huge-triangle scan.
-DEFAULT_CAPS = (20352, 30528, 10400, 2832, 1200, 64)
+DEFAULT_CAPS = (20352, 30592, 10496, 2944, 1280, 128)
 TRI_BLOCK = 16                   # triangles per grid step
+TR_BLOCK = 128                   # record columns per transpose-kernel step
 
 
 def _raster_class_kernel(winh: int, width_pad: int, wireframe: bool,
@@ -85,6 +85,8 @@ def _raster_class_kernel(winh: int, width_pad: int, wireframe: bool,
     its = (rowi, coli, rowi.astype(_F32), coli.astype(_F32))
 
     def _block():
+        # static unroll: dynamic-t fori_loop variants measurably lose
+        # Mosaic's cross-record static scheduling (measured +18% kernel)
         for t in range(TRI_BLOCK):
             _one_triangle(winh, width_pad, wireframe, rec_ref, fb_ref, t,
                           its)
@@ -111,12 +113,22 @@ def _one_triangle(winh: int, width_pad: int, wireframe: bool, rec_ref,
     triangles, under a scalar predicate — the common case does half the
     vector work of the old fixed 256-lane window.
 
-    Edge constants and inv_area-folded attribute coefficients arrive
-    PRECOMPUTED in the record (coverage._setup_t rows 0-23) — they are
-    lane-parallel on the XLA side but ~35 scalar-unit ops per record
-    here, and the small classes are partly scalar-bound."""
+    Edge constants, inv_area-folded attribute coefficients AND the
+    +-1/512 top-left accept biases arrive PRECOMPUTED in the record
+    (coverage._setup_t rows 0-23, 29-31) — they are lane-parallel on the
+    XLA side but scalar-unit ops per record here, and the small classes
+    are partly scalar-bound. The whole record runs under pl.when(live):
+    dead records (cap padding past the compacted class) cost only the
+    flag read."""
     f = _F32
     live = rec_ref[t, 28] > 0.5
+    pl.when(live)(lambda: _one_triangle_live(
+        winh, width_pad, wireframe, rec_ref, fb_ref, t, its))
+
+
+def _one_triangle_live(winh: int, width_pad: int, wireframe: bool, rec_ref,
+                       fb_ref, t, its):
+    f = _F32
     px0 = rec_ref[t, 24].astype(_I32)
     py0 = rec_ref[t, 25].astype(_I32)
     px1 = rec_ref[t, 26].astype(_I32)
@@ -126,13 +138,9 @@ def _one_triangle(winh: int, width_pad: int, wireframe: bool, rec_ref,
     py0c = jnp.clip(py0 // 8, 0, (hp - winh) // 8) * 8
     blk0 = jnp.clip(px0 // 128, 0, (width_pad - WIN_W) // 128)
 
-    def edge_consts(DX, DY, c):
-        tl = (DY < f(0.0)) | ((DY == f(0.0)) & (DX > f(0.0)))
-        return DX, DY, c, tl
-
-    ec0 = edge_consts(rec_ref[t, 0], rec_ref[t, 1], rec_ref[t, 2])
-    ec1 = edge_consts(rec_ref[t, 3], rec_ref[t, 4], rec_ref[t, 5])
-    ec2 = edge_consts(rec_ref[t, 6], rec_ref[t, 7], rec_ref[t, 8])
+    ec0 = (rec_ref[t, 0], rec_ref[t, 1], rec_ref[t, 2], rec_ref[t, 29])
+    ec1 = (rec_ref[t, 3], rec_ref[t, 4], rec_ref[t, 5], rec_ref[t, 30])
+    ec2 = (rec_ref[t, 6], rec_ref[t, 7], rec_ref[t, 8], rec_ref[t, 31])
 
     cz0, cz1, cz2 = rec_ref[t, 9], rec_ref[t, 10], rec_ref[t, 11]
     cw0, cw1, cw2 = rec_ref[t, 12], rec_ref[t, 13], rec_ref[t, 14]
@@ -150,9 +158,11 @@ def _one_triangle(winh: int, width_pad: int, wireframe: bool, rec_ref,
         rx = colf - (px0 - px0a).astype(f)
         ry = rowf - (py0 - py0c - ry0).astype(f)
 
-        def edge(DX, DY, c, tl):
+        def edge(DX, DY, c, bias):
             e = (DX * ry - DY * rx) + c
-            return e, (e > f(0.0)) | ((e == f(0.0)) & tl)
+            # one-compare top-left rule, bias from the record (lockstep
+            # with coverage._fragments' biased compare)
+            return e, e > bias
 
         e0, a0 = edge(*ec0)
         e1, a1 = edge(*ec1)
@@ -182,7 +192,7 @@ def _one_triangle(winh: int, width_pad: int, wireframe: bool, rec_ref,
 
         in_box = ((coli >= px0 - px0a) & (coli <= px1 - px0a)
                   & (rowi >= r_lo - ry0) & (rowi <= r_hi - ry0))
-        ok = live & inside & in_box & (z >= f(-1.0)) & (iw > f(0.0))
+        ok = inside & in_box & (z >= f(-1.0)) & (iw > f(0.0))
 
         zq = jnp.clip((z * f(0.5) + f(0.5)) * f(2**_DEPTH_BITS - 1),
                       0, 2**_DEPTH_BITS - 2).astype(_I32)
@@ -195,7 +205,7 @@ def _one_triangle(winh: int, width_pad: int, wireframe: bool, rec_ref,
             jnp.minimum(old, packed)
 
     window(blk0, 0, winh, its)
-    straddle = live & (px1 > blk0 * 128 + 127)
+    straddle = px1 > blk0 * 128 + 127
     blk1 = jnp.minimum(blk0 + 1, (width_pad - WIN_W) // 128)
     pl.when(straddle)(lambda: window(blk1, 0, winh, its))
 
@@ -216,20 +226,16 @@ def _huge_class_kernel(width_pad: int, height_pad: int, wireframe: bool,
         fb_ref[:, :] = fb_in_ref[:, :]
 
     f = _F32
-    t = pl.program_id(0)          # records block = the full (cap, 32)
+    t = pl.program_id(0)          # record column t of the full (32, cap)
     live = rec_ref[t, 28] > 0.5
     px0 = rec_ref[t, 24].astype(_I32)
     py0 = rec_ref[t, 25].astype(_I32)
     px1 = rec_ref[t, 26].astype(_I32)
     py1 = rec_ref[t, 27].astype(_I32)
 
-    def edge_consts(DX, DY, c):
-        tl = (DY < f(0.0)) | ((DY == f(0.0)) & (DX > f(0.0)))
-        return DX, DY, c, tl
-
-    ec0 = edge_consts(rec_ref[t, 0], rec_ref[t, 1], rec_ref[t, 2])
-    ec1 = edge_consts(rec_ref[t, 3], rec_ref[t, 4], rec_ref[t, 5])
-    ec2 = edge_consts(rec_ref[t, 6], rec_ref[t, 7], rec_ref[t, 8])
+    ec0 = (rec_ref[t, 0], rec_ref[t, 1], rec_ref[t, 2], rec_ref[t, 29])
+    ec1 = (rec_ref[t, 3], rec_ref[t, 4], rec_ref[t, 5], rec_ref[t, 30])
+    ec2 = (rec_ref[t, 6], rec_ref[t, 7], rec_ref[t, 8], rec_ref[t, 31])
 
     cz0, cz1, cz2 = rec_ref[t, 9], rec_ref[t, 10], rec_ref[t, 11]
     cw0, cw1, cw2 = rec_ref[t, 12], rec_ref[t, 13], rec_ref[t, 14]
@@ -248,9 +254,10 @@ def _huge_class_kernel(width_pad: int, height_pad: int, wireframe: bool,
         rx = colf - (px0 - px0a).astype(f)
         ry = rowf - (py0 - sy).astype(f)
 
-        def edge(DX, DY, c, tl):
+        def edge(DX, DY, c, bias):
             e = (DX * ry - DY * rx) + c
-            return e, (e > f(0.0)) | ((e == f(0.0)) & tl)
+            # one-compare top-left rule, bias precomputed in the record
+            return e, e > bias
 
         e0, a0 = edge(*ec0)
         e1, a1 = edge(*ec1)
@@ -334,11 +341,40 @@ REC_SPACE = pltpu.SMEM       # triangle records: scalar reads come from SMEM
                              # (VMEM scalar extracts measurably dominate)
 
 
+def _tr_kernel(in_ref, out_ref):
+    out_ref[:, :] = in_ref[:, :].T
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _transpose_records(recs_t, interpret=False):
+    """(32, cap) record columns -> (cap, 32) row records, as a Pallas
+    relayout kernel. XLA's transpose of this shape lowers to a tiled copy
+    costing ~0.85 ms per 65k records at 1080p (tiny minor dim); in-kernel
+    vreg transposes of (32, TR_BLOCK) tiles run at ~bandwidth, so the
+    class gathers stay lane-major end to end and the row-record kernels
+    (SMEM (TRI_BLOCK, 32) blocks with static scalar indexing) keep their
+    fast layout. cap must be a multiple of TR_BLOCK."""
+    cap = recs_t.shape[1]
+    if cap % TR_BLOCK:
+        raise ValueError(f"cap {cap} must be a multiple of {TR_BLOCK}")
+    return pl.pallas_call(
+        _tr_kernel,
+        grid=(cap // TR_BLOCK,),
+        in_specs=[pl.BlockSpec((32, TR_BLOCK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((TR_BLOCK, 32), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cap, 32), jnp.float32),
+        interpret=interpret,
+    )(recs_t)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "winh", "cap", "width_pad", "height_pad", "interpret", "wireframe"))
 def _run_class(records, fb, *, winh, cap, width_pad, height_pad,
                interpret=False, wireframe=False):
-    """records (cap, 32) f32 -> fb' with all class triangles min-merged."""
+    """records (cap, 32) f32 row records -> fb' with all class triangles
+    min-merged."""
     if cap % TRI_BLOCK:
         raise ValueError(
             f"class cap {cap} must be a multiple of TRI_BLOCK={TRI_BLOCK} "
@@ -381,10 +417,33 @@ def raster_frame_pallas(clip, normal, valid, width: int, height: int, *,
                         caps=DEFAULT_CAPS,
                         huge_cap: int = 16, background: float = 0.0,
                         cell_mask=None, interpret: bool = False,
-                        decode: bool = True, wireframe: bool = False):
+                        decode: bool = True, wireframe: bool = False,
+                        quad_cap: int = 128):
     """Drop-in twin of coverage.raster_frame running the fragment path as
     Pallas window kernels. Returns (image, depth, RasterCounters), or
-    (packed, counters) when decode=False."""
+    (packed, counters) when decode=False.
+
+    quad_cap: when the batch has more than quad_cap quads, quads with no
+    live triangle (backfacing / out of frustum / dead) are compacted away
+    BEFORE triangle setup (coverage._quad_live_t — exact same liveness
+    rules, so the image is unchanged). The LOD leaf set covers the whole
+    planet while only ~10-25% of quads face the camera in-frustum, so
+    this shrinks the sort/record/gather candidate space ~4-8x. More than
+    quad_cap live quads sets the overflow counter (never silent). None
+    disables."""
+    n_tris_full = None
+    overflow_quads = jnp.bool_(False)
+    if quad_cap is not None and clip.shape[0] > quad_cap:
+        qlive, n_tris_full = cov._quad_live_t(clip, valid, width, height,
+                                              cell_mask)
+        qidx, nq = cov._compact_indices(qlive, quad_cap)
+        sel = jnp.minimum(qidx, clip.shape[0] - 1)
+        keep = qidx < clip.shape[0]
+        clip = jnp.take(clip, sel, axis=0)
+        normal = jnp.take(normal, sel, axis=0)
+        valid = jnp.take(valid, sel, axis=0) & keep[:, None, None]
+        overflow_quads = nq > quad_cap
+
     # Fused SoA setup + transposed record pack: every field stays a flat
     # (N,) lane-major array end to end (coverage._setup_t) — the XLA
     # path's (N, 3) AoS intermediates cost ~4.7 ms in tiled relayout
@@ -436,7 +495,8 @@ def raster_frame_pallas(clip, normal, valid, width: int, height: int, *,
     for c, (cspan, cap) in enumerate(zip(SPAN_CLASSES, caps)):
         idxs = _segment(c, off, cap)
         off = off + counts[c]
-        recs = cov._gather_packed_t(tm, idxs)
+        recs = _transpose_records(cov._gather_packed_t(tm, idxs),
+                                  interpret=interpret)
         fb = _run_class(recs, fb, winh=8 * cspan, cap=cap,
                         width_pad=width_pad, height_pad=height_pad,
                         interpret=interpret, wireframe=wireframe)
@@ -444,10 +504,11 @@ def raster_frame_pallas(clip, normal, valid, width: int, height: int, *,
         overflowed = overflowed | (counts[c] > cap)
 
     # huge triangles: bbox-bounded Pallas scan (one grid step per record,
-    # fori_loops over the bbox's 32x128 tiles — see _huge_class_kernel)
+    # fori_loops over the bbox's 32x128 tiles — see _huge_class_kernel).
+    # The tiny huge class pays the XLA relayout (.T of (32, huge_cap)).
     hg_idx = _segment(len(SPAN_CLASSES), off, huge_cap)
     n_huge = counts[len(SPAN_CLASSES)]
-    recs_h = cov._gather_packed_t(tm, hg_idx)
+    recs_h = cov._gather_packed_t(tm, hg_idx).T
     overflowed = overflowed | (n_huge > huge_cap)
     fb = jax.lax.cond(
         n_huge > 0,
@@ -458,9 +519,10 @@ def raster_frame_pallas(clip, normal, valid, width: int, height: int, *,
 
     img_packed = fb[:height, :width]
     counters = cov.RasterCounters(
-        n_tris=jnp.sum(live.astype(_I32)),
+        n_tris=(jnp.sum(live.astype(_I32)) if n_tris_full is None
+                else n_tris_full),
         n_per_class=jnp.stack(n_per_class + [n_huge]),
-        n_huge=n_huge, overflowed=overflowed)
+        n_huge=n_huge, overflowed=overflowed | overflow_quads)
     if not decode:
         return img_packed, counters
     image, depth = cov.decode_packed(img_packed, background)
