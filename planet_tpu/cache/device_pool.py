@@ -82,18 +82,34 @@ def plan(found, parent_found, depth, budget: int):
     return generate, use_crop
 
 
-def allocate(state: PoolState, generate, q_lo, q_hi, max_gen: int):
+def allocate(state: PoolState, generate, q_lo, q_hi, max_gen: int,
+             protect=None):
     """Assign slots to the first max_gen generating leaves: free slots
     first, then stalest occupied (batched LRU). Returns (state', slots (L,),
-    n_over) where leaves beyond max_gen keep slot -1 (caller must mask)."""
+    n_over) where leaves beyond max_gen keep slot -1 (caller must mask).
+
+    protect: optional (CAP,) bool — slots this frame's probe already
+    resolved (hits and crop-parents). The host pool touches a slot's tick
+    the moment its leaf resolves, so a later same-frame eviction can never
+    reuse it; this batched allocator evicts against START-of-frame ticks,
+    so under capacity pressure (working set > capacity, every tick equal)
+    it would otherwise evict — and clobber — a slot a hit leaf is about to
+    gather from (verified by tests/test_pool_divergence.py). Protected
+    slots sort after every other slot; if generations exceed the free +
+    unprotected supply the excess is dropped and counted in n_over (never
+    silent), exactly like gen_cap overflow."""
     cap = state.keys_lo.shape[0]
     occupied = state.keys_hi < 0
     # eviction priority: free slots (key 0) before occupied by staleness
     order_key = jnp.where(occupied, state.tick, jnp.int32(-2**31))
+    if protect is not None:
+        order_key = jnp.where(protect, jnp.int32(2**31 - 1), order_key)
     slot_order = jnp.argsort(order_key).astype(_I32)       # (CAP,)
 
     gen_rank = jnp.cumsum(generate.astype(_I32)) - 1       # rank among gens
-    ok = generate & (gen_rank < max_gen) & (gen_rank < cap)
+    n_alloc = (cap if protect is None
+               else cap - jnp.sum(protect.astype(_I32)))
+    ok = generate & (gen_rank < max_gen) & (gen_rank < n_alloc)
     tgt = jnp.where(ok, slot_order[jnp.clip(gen_rank, 0, cap - 1)], -1)
 
     # write new keys/ticks at allocated slots (dump row for unused)

@@ -168,8 +168,17 @@ def build_device_render(cfg: EngineConfig, width: int, height: int, *,
         p_found = p_found & has_parent
         generate, use_crop = dp.plan(found | ~active, p_found, depth,
                                      cfg.generations_per_frame)
+        # slots this frame's probe resolved (hits + crop parents) must not
+        # be evicted by the batched allocator — under capacity pressure it
+        # would clobber a tile a later gather reads (see dp.allocate)
+        pcap = pool.keys_lo.shape[0]
+        protect = jnp.zeros((pcap + 1,), bool)
+        protect = protect.at[jnp.where(found, slot, pcap)].set(True)
+        protect = protect.at[jnp.where(use_crop & p_found, p_slot,
+                                       pcap)].set(True)
         pool, tgt, n_over = dp.allocate(pool, generate, q_lo, q_hi,
-                                        max_gen=gen_cap)
+                                        max_gen=gen_cap,
+                                        protect=protect[:pcap])
         gen_ok = generate & (tgt >= 0)
 
         if stop_after == "cache":
