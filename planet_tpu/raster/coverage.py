@@ -181,7 +181,7 @@ def _setup(clip, normal, valid, width: int, height: int,
 
 
 def _fragments(t: _Tris, live, px, py, width: int, height: int,
-               wireframe: bool = False):
+               wireframe: bool = False, iw_test: bool = True):
     """Evaluate coverage + attributes at integer pixel candidates.
 
     t fields broadcast against px/py of shape t.x.shape[:-1] + (K,);
@@ -190,6 +190,17 @@ def _fragments(t: _Tris, live, px, py, width: int, height: int,
     pixel (perpendicular distance) of a triangle edge — the glPolygonMode
     LINE analogue (key P, main.cpp:980-985) on the same exact-coverage,
     depth-tested, perspective-shaded fragments.
+
+    iw_test=False skips the interpolated-1/w positivity test. Inside the
+    EXACT coverage domain (bbox <= 128x128, 1/16-snapped coords) the test
+    is provably vacuous: accepted pixels have every edge value e_i >= 0
+    (biased compare on exact multiples of 1/256), each 1/w_i > _W_MIN > 0
+    (tri_ok), f32 products/sums of non-negative terms never round
+    negative, and not all three e_i can be 0 (degenerates are culled) —
+    so iw > 0 always holds and the 6-op dot product is dead weight. The
+    huge class (bbox wider than 128 px) evaluates edges OUTSIDE the exact
+    domain where a rounded e_i may be slightly negative, so it keeps the
+    spec's test (iw_test=True).
     """
     pcx = px.astype(_F32) + np.float32(0.5)
     pcy = py.astype(_F32) + np.float32(0.5)
@@ -253,9 +264,7 @@ def _fragments(t: _Tris, live, px, py, width: int, height: int,
     # engines are asserted bit-identical.
     ia = t.inv_area[..., None]
     cz = [t.z[..., i, None] * ia for i in range(3)]
-    ciw = [t.iw[..., i, None] * ia for i in range(3)]
     z = (e0 * cz[0] + e1 * cz[1]) + e2 * cz[2]
-    iw = (e0 * ciw[0] + e1 * ciw[1]) + e2 * ciw[2]
     n = [(e0 * (t.niw[..., 0, c, None] * ia)
           + e1 * (t.niw[..., 1, c, None] * ia))
          + e2 * (t.niw[..., 2, c, None] * ia) for c in range(3)]
@@ -270,15 +279,22 @@ def _fragments(t: _Tris, live, px, py, width: int, height: int,
     # depth-clamp semantics at the far plane: interpolated z can exceed 1 by
     # f32 barycentric rounding (or genuinely, for geometry past far) — the
     # quantizer clamps it; only fragments in front of the near plane reject
-    ok = live[..., None] & inside & in_vp & (z >= -1.0) & (iw > 0.0)
+    ok = live[..., None] & inside & in_vp & (z >= -1.0)
+    if iw_test:
+        ciw = [t.iw[..., i, None] * ia for i in range(3)]
+        iw = (e0 * ciw[0] + e1 * ciw[1]) + e2 * ciw[2]
+        ok = ok & (iw > 0.0)
 
     # depth clamps to 2^21 - 2 (not -1): the all-ones packed word is the
     # _EMPTY sentinel, and a far-plane-clamped fully-lit fragment must not
-    # alias it (it would decode as background)
-    zq = jnp.clip((z * 0.5 + 0.5) * np.float32(2**_DEPTH_BITS - 1),
-                  0, 2**_DEPTH_BITS - 2).astype(_I32)
-    sq = jnp.clip(shade * np.float32(2**_SHADE_BITS - 1),
-                  0, 2**_SHADE_BITS - 1).astype(_I32)
+    # alias it (it would decode as background). Lower clamps are dropped:
+    # accepted fragments have z >= -1 (so the scaled depth >= 0 exactly)
+    # and shade >= sqrt(0.001) > 0; rejected lanes may go negative but are
+    # masked to _EMPTY below (same values as the spec's full clip).
+    zq = jnp.minimum((z * 0.5 + 0.5) * np.float32(2**_DEPTH_BITS - 1),
+                     np.float32(2**_DEPTH_BITS - 2)).astype(_I32)
+    sq = jnp.minimum(shade * np.float32(2**_SHADE_BITS - 1),
+                     np.float32(2**_SHADE_BITS - 1)).astype(_I32)
     packed = (zq << _SHADE_BITS) | sq
     idx = jnp.where(ok, py * width + px, width * height)
     return idx.reshape(-1), packed.reshape(-1)
@@ -587,8 +603,10 @@ def _row_job_pass(tt_m, job_idx, max_bh: int, win_w: int,
     py = (tj.py0 + row)[:, None]
     px = tj.px0[:, None] + jnp.arange(win_w, dtype=_I32)[None, :]
     live = tj.live & (row < (tj.py1 - tj.py0 + 1))
+    # row-job classes are bbox <= 128x64: inside the exact coverage domain,
+    # so the interpolated-1/w test is provably vacuous (see _fragments)
     return _fragments(tj, live, px, jnp.broadcast_to(py, px.shape),
-                      width, height, wireframe)
+                      width, height, wireframe, iw_test=False)
 
 
 def _huge_pass(buf, t: _Tris, width: int, height: int,

@@ -67,7 +67,16 @@ def _raster_class_kernel(winh: int, width_pad: int, wireframe: bool,
 
     The framebuffer blocks use a constant index map, so both stay VMEM-
     resident across the whole grid; the OUTPUT block starts undefined and
-    is seeded from the (HBM-aliased) input once, then accumulated."""
+    is seeded from the (HBM-aliased) input once, then accumulated.
+
+    There is NO per-triangle liveness branch: class compaction places all
+    live records first, so dead records are a contiguous tail — whole-dead
+    blocks skip under one any_live test, and the single boundary block's
+    dead records self-neutralize (zero records fail every biased edge
+    compare, so they min-merge _EMPTY over window (0, 0): a no-op). The
+    straight-line TRI_BLOCK body lets Mosaic overlap record t+1's scalar
+    setup with record t's vector window (the small classes were measured
+    scalar/branch-bound at ~4x the big classes' per-row cost)."""
 
     @pl.when(pl.program_id(0) == 0)
     def _seed():
@@ -79,84 +88,77 @@ def _raster_class_kernel(winh: int, width_pad: int, wireframe: bool,
     for t in range(1, TRI_BLOCK):
         any_live = any_live | (rec_ref[t, 28] > 0.5)
 
-    # static iotas shared by every triangle in the block
-    rowi = jax.lax.broadcasted_iota(_I32, (winh, WIN_W), 0)
-    coli = jax.lax.broadcasted_iota(_I32, (winh, WIN_W), 1)
-    its = (rowi, coli, rowi.astype(_F32), coli.astype(_F32))
+    # static iotas shared by every triangle in the block (integer iota +
+    # cast: Mosaic has no f32 iota); colf2 is the straddle pass's column
+    # iota (second aligned lane block)
+    rowf = jax.lax.broadcasted_iota(_I32, (winh, WIN_W), 0).astype(_F32)
+    colf = jax.lax.broadcasted_iota(_I32, (winh, WIN_W), 1).astype(_F32)
+    colf2 = colf + _F32(128.0)
 
     def _block():
         # static unroll: dynamic-t fori_loop variants measurably lose
         # Mosaic's cross-record static scheduling (measured +18% kernel)
         for t in range(TRI_BLOCK):
-            _one_triangle(winh, width_pad, wireframe, rec_ref, fb_ref, t,
-                          its)
+            _one_triangle(winh, wireframe, rec_ref, fb_ref, t,
+                          rowf, colf, colf2)
 
     pl.when(any_live)(_block)
 
 
-def _one_triangle(winh: int, width_pad: int, wireframe: bool, rec_ref,
-                  fb_ref, t, its):
+def _one_triangle(winh: int, wireframe: bool, rec_ref, fb_ref, t,
+                  rowf, colf, colf2):
     """Rasterize record t into its bbox's aligned (winh, 128) window(s).
 
-    All per-triangle invariants are folded to SCALARS (SMEM reads + scalar
-    ALU): edge functions restate as e = DX*row - DY*col + C with row/col
-    the static window iotas — every term is an exact multiple of 1/256
-    well below 2^24, so e is the exact mathematical edge value and
+    All per-triangle invariants arrive PRECOMPUTED in the record: edge
+    constants + top-left accept biases and inv_area-folded attribute
+    coefficients from coverage._setup_t (rows 0-11, 15-23, 29-31), and the
+    window ADDRESSING — clamped aligned row start, aligned column block
+    start, straddle flag, bbox bounds relative to the window origin — from
+    _class_fixup (rows 12-14, 24-27). The kernel's scalar unit does two
+    f32->i32 casts and one compare per record; everything else is vector.
+
+    Edge functions restate as e = DX*ry - DY*rx + C with ry/rx exact
+    integer-valued f32 window deltas — every term is an exact multiple of
+    1/256 well below 2^24, so e is the exact mathematical edge value and
     coverage stays bit-identical to the XLA path (coverage._fragments).
-    inv_area is pre-multiplied into the barycentric attribute coefficients
-    and the 1/w divide cancels against the normal's own normalization
-    (see coverage._fragments — the two fragment pipelines are kept in
-    op-for-op lockstep).
+    The interpolated-1/w test is omitted: provably vacuous inside this
+    exact domain (see coverage._fragments' iw_test note). inv_area is
+    pre-multiplied into the attribute coefficients and the 1/w perspective
+    divide cancels against the normal's own normalization — the two
+    fragment pipelines are kept in op-for-op lockstep.
 
     A bbox of width <= 128 spans at most two aligned lane blocks; the
     second window pass runs only for the (~10% at 1080p) straddling
-    triangles, under a scalar predicate — the common case does half the
-    vector work of the old fixed 256-lane window.
-
-    Edge constants, inv_area-folded attribute coefficients AND the
-    +-1/512 top-left accept biases arrive PRECOMPUTED in the record
-    (coverage._setup_t rows 0-23, 29-31) — they are lane-parallel on the
-    XLA side but scalar-unit ops per record here, and the small classes
-    are partly scalar-bound. The whole record runs under pl.when(live):
-    dead records (cap padding past the compacted class) cost only the
-    flag read."""
+    triangles, under a scalar predicate."""
     f = _F32
-    live = rec_ref[t, 28] > 0.5
-    pl.when(live)(lambda: _one_triangle_live(
-        winh, width_pad, wireframe, rec_ref, fb_ref, t, its))
-
-
-def _one_triangle_live(winh: int, width_pad: int, wireframe: bool, rec_ref,
-                       fb_ref, t, its):
-    f = _F32
-    px0 = rec_ref[t, 24].astype(_I32)
-    py0 = rec_ref[t, 25].astype(_I32)
-    px1 = rec_ref[t, 26].astype(_I32)
-    py1 = rec_ref[t, 27].astype(_I32)
-
-    hp = fb_ref.shape[0]
-    py0c = jnp.clip(py0 // 8, 0, (hp - winh) // 8) * 8
-    blk0 = jnp.clip(px0 // 128, 0, (width_pad - WIN_W) // 128)
+    # rows 12-13 carry BLOCK indices; the in-kernel *8 / *128 lets Mosaic
+    # prove the dynamic framebuffer slice offsets are tile-aligned (a raw
+    # precomputed offset crashes its vector.load lowering)
+    py0c = rec_ref[t, 12].astype(_I32) * 8
+    px0a = rec_ref[t, 13].astype(_I32) * 128
+    straddle = rec_ref[t, 14] > f(0.5)
+    px0r = rec_ref[t, 24]
+    px1r = rec_ref[t, 25]
+    py0r = rec_ref[t, 26]
+    py1r = rec_ref[t, 27]
 
     ec0 = (rec_ref[t, 0], rec_ref[t, 1], rec_ref[t, 2], rec_ref[t, 29])
     ec1 = (rec_ref[t, 3], rec_ref[t, 4], rec_ref[t, 5], rec_ref[t, 30])
     ec2 = (rec_ref[t, 6], rec_ref[t, 7], rec_ref[t, 8], rec_ref[t, 31])
 
     cz0, cz1, cz2 = rec_ref[t, 9], rec_ref[t, 10], rec_ref[t, 11]
-    cw0, cw1, cw2 = rec_ref[t, 12], rec_ref[t, 13], rec_ref[t, 14]
     cnx0, cny0, cnz0 = rec_ref[t, 15], rec_ref[t, 16], rec_ref[t, 17]
     cnx1, cny1, cnz1 = rec_ref[t, 18], rec_ref[t, 19], rec_ref[t, 20]
     cnx2, cny2, cnz2 = rec_ref[t, 21], rec_ref[t, 22], rec_ref[t, 23]
 
-    r_lo, r_hi = py0 - py0c, py1 - py0c
+    # row coverage is shared by both window passes
+    ry = rowf - py0r
+    rowok = (rowf >= py0r) & (rowf <= py1r)
 
-    def window(blk, ry0, nrows, its):
-        rowi, coli, rowf, colf = its
-        px0a = blk * 128
+    def window(cf, px0a_i):
         # window pixel deltas from the bbox-min pixel center: exact
         # integer-valued f32, identical to _fragments' (pc - o) values
-        rx = colf - (px0 - px0a).astype(f)
-        ry = rowf - (py0 - py0c - ry0).astype(f)
+        rx = cf - px0r
 
         def edge(DX, DY, c, bias):
             e = (DX * ry - DY * rx) + c
@@ -180,7 +182,6 @@ def _one_triangle_live(winh: int, width_pad: int, wireframe: bool, rec_ref,
                                | on_edge(e2, ec2[0], ec2[1]))
 
         z = (e0 * cz0 + e1 * cz1) + e2 * cz2
-        iw = (e0 * cw0 + e1 * cw1) + e2 * cw2
         nx = (e0 * cnx0 + e1 * cnx1) + e2 * cnx2
         ny = (e0 * cny0 + e1 * cny1) + e2 * cny2
         nz = (e0 * cnz0 + e1 * cnz1) + e2 * cnz2
@@ -190,24 +191,23 @@ def _one_triangle_live(winh: int, width_pad: int, wireframe: bool, rec_ref,
                                                     f(1.0))
         shade = jnp.sqrt(f(0.001) + jnp.maximum(f(0.0), ndl))
 
-        in_box = ((coli >= px0 - px0a) & (coli <= px1 - px0a)
-                  & (rowi >= r_lo - ry0) & (rowi <= r_hi - ry0))
-        ok = inside & in_box & (z >= f(-1.0)) & (iw > f(0.0))
+        in_box = (cf >= px0r) & (cf <= px1r) & rowok
+        ok = inside & in_box & (z >= f(-1.0))
 
-        zq = jnp.clip((z * f(0.5) + f(0.5)) * f(2**_DEPTH_BITS - 1),
-                      0, 2**_DEPTH_BITS - 2).astype(_I32)
-        sq = jnp.clip(shade * f(2**_SHADE_BITS - 1),
-                      0, 2**_SHADE_BITS - 1).astype(_I32)
+        # lower clamps dropped (accepted z >= -1 and shade > 0; rejected
+        # lanes mask to _EMPTY) — same values as coverage._fragments
+        zq = jnp.minimum((z * f(0.5) + f(0.5)) * f(2**_DEPTH_BITS - 1),
+                         f(2**_DEPTH_BITS - 2)).astype(_I32)
+        sq = jnp.minimum(shade * f(2**_SHADE_BITS - 1),
+                         f(2**_SHADE_BITS - 1)).astype(_I32)
         packed = jnp.where(ok, (zq << _SHADE_BITS) | sq, _EMPTY)
 
-        old = fb_ref[pl.ds(py0c + ry0, nrows), pl.ds(px0a, WIN_W)]
-        fb_ref[pl.ds(py0c + ry0, nrows), pl.ds(px0a, WIN_W)] = \
+        old = fb_ref[pl.ds(py0c, winh), pl.ds(px0a_i, WIN_W)]
+        fb_ref[pl.ds(py0c, winh), pl.ds(px0a_i, WIN_W)] = \
             jnp.minimum(old, packed)
 
-    window(blk0, 0, winh, its)
-    straddle = px1 > blk0 * 128 + 127
-    blk1 = jnp.minimum(blk0 + 1, (width_pad - WIN_W) // 128)
-    pl.when(straddle)(lambda: window(blk1, 0, winh, its))
+    window(colf, px0a)
+    pl.when(straddle)(lambda: window(colf2, px0a + 128))
 
 
 def _huge_class_kernel(width_pad: int, height_pad: int, wireframe: bool,
@@ -285,12 +285,15 @@ def _huge_class_kernel(width_pad: int, height_pad: int, wireframe: bool,
 
         in_box = ((coli >= px0 - px0a) & (coli <= px1 - px0a)
                   & (rowi >= py0 - sy) & (rowi <= py1 - sy))
+        # huge triangles evaluate edges OUTSIDE the exact coverage domain,
+        # so the spec's interpolated-1/w positivity test stays (see
+        # coverage._fragments' iw_test note)
         ok = inside & in_box & (z >= f(-1.0)) & (iw > f(0.0))
 
-        zq = jnp.clip((z * f(0.5) + f(0.5)) * f(2**_DEPTH_BITS - 1),
-                      0, 2**_DEPTH_BITS - 2).astype(_I32)
-        sq = jnp.clip(shade * f(2**_SHADE_BITS - 1),
-                      0, 2**_SHADE_BITS - 1).astype(_I32)
+        zq = jnp.minimum((z * f(0.5) + f(0.5)) * f(2**_DEPTH_BITS - 1),
+                         f(2**_DEPTH_BITS - 2)).astype(_I32)
+        sq = jnp.minimum(shade * f(2**_SHADE_BITS - 1),
+                         f(2**_SHADE_BITS - 1)).astype(_I32)
         packed = jnp.where(ok, (zq << _SHADE_BITS) | sq, _EMPTY)
 
         old = fb_ref[pl.ds(sy, STRIP), pl.ds(px0a, 128)]
@@ -339,6 +342,44 @@ def _run_huge(records, fb, *, cap, width_pad, height_pad,
 
 REC_SPACE = pltpu.SMEM       # triangle records: scalar reads come from SMEM
                              # (VMEM scalar extracts measurably dominate)
+
+
+def _class_fixup(recs_t, winh: int, width_pad: int, height_pad: int):
+    """Precompute the per-class window addressing into the record matrix.
+
+    Rows 12-14 of the shared record matrix hold the 1/w barycentric
+    coefficients — dead weight for the span classes (the interpolated-1/w
+    test is provably vacuous inside the exact coverage domain, see
+    coverage._fragments) — and rows 24-27 the raw clamped bbox. Replace
+    them with what the kernel actually needs, computed lane-parallel here
+    instead of on the kernel's scalar unit (~12 scalar ops/record saved;
+    the small classes were measured scalar-bound):
+
+      12: py0c / 8 — clamped aligned window row BLOCK (winh-dependent)
+      13: px0a / 128 — aligned window column BLOCK
+      14: straddle flag (bbox crosses into the next 128-lane block)
+      24: px0 - px0a   25: px1 - px0a   (bbox cols rel. window origin)
+      26: py0 - py0c   27: py1 - py0c   (bbox rows rel. window origin)
+
+    All values are exact small integers in f32. The pad column (all-zero
+    record) maps to window (0, 0) with a [0,0]x[0,0] bbox; its zero edge
+    constants fail every biased compare, so it min-merges _EMPTY — a
+    no-op. The huge class keeps the raw layout (its kernel scans the raw
+    bbox and keeps the 1/w test)."""
+    px0, py0 = recs_t[24], recs_t[25]
+    px1, py1 = recs_t[26], recs_t[27]
+    f = jnp.float32
+    pyblk = jnp.clip(jnp.floor(py0 * f(0.125)), 0,
+                     (height_pad - winh) // 8)
+    py0c = pyblk * f(8.0)
+    blk0 = jnp.clip(jnp.floor(px0 * f(1.0 / 128.0)), 0,
+                    (width_pad - WIN_W) // 128)
+    px0a = blk0 * f(128.0)
+    straddle = (px1 > px0a + f(127.0)).astype(jnp.float32)
+    addr = jnp.stack([pyblk, blk0, straddle])
+    rel = jnp.stack([px0 - px0a, px1 - px0a, py0 - py0c, py1 - py0c])
+    return jnp.concatenate([recs_t[:12], addr, recs_t[15:24], rel,
+                            recs_t[28:]], axis=0)
 
 
 def _tr_kernel(in_ref, out_ref):
@@ -495,8 +536,10 @@ def raster_frame_pallas(clip, normal, valid, width: int, height: int, *,
     for c, (cspan, cap) in enumerate(zip(SPAN_CLASSES, caps)):
         idxs = _segment(c, off, cap)
         off = off + counts[c]
-        recs = _transpose_records(cov._gather_packed_t(tm, idxs),
-                                  interpret=interpret)
+        recs = _transpose_records(
+            _class_fixup(cov._gather_packed_t(tm, idxs), 8 * cspan,
+                         width_pad, height_pad),
+            interpret=interpret)
         fb = _run_class(recs, fb, winh=8 * cspan, cap=cap,
                         width_pad=width_pad, height_pad=height_pad,
                         interpret=interpret, wireframe=wireframe)
