@@ -26,11 +26,15 @@ This kernel fuses the entire frame step so NOTHING but the two outputs
   ops/texel, vs ~380 for the generic DF bilinear+normalize — and the
   normalized direction is mathematically identical to bilinear interpolation
   of the normalized corners (uniform |corner| = sqrt(3) scales out).
-* **Flat halo recompute.** Normals need the 4 neighbours. Heights are pure
-  functions of position, so each grid block recomputes its neighbourhood
-  locally (the reference's overscan strategy, main.cpp:135-148): a block
-  computing BR block-rows of output evaluates noise for BR + 2*(n/128)
-  block-rows, +-1 image row of halo in the flat (rows, 128) layout. The
+* **Sequential halo carry.** Normals need the 4 neighbours. The grid walks
+  each face's blocks in order on one core, so the +-1-image-row halo (the
+  reference's overscan strategy, main.cpp:135-148) is NOT recomputed per
+  block: a VMEM scratch carries the last 2*(n/128) computed noise rows from
+  block b to block b+1, whose top halo they are exactly (same absolute
+  coords => bit-identical values). Only a face's first block evaluates its
+  own 2-row top strip, and the off-face half of that strip is junk that the
+  row_c == 0 edge clamp masks. Net recompute overhead is ~0.1% (was 6.25%
+  at 512-row blocks; the carry bought ~1.1 ms of the 2048 frame). The
   col +-1 neighbours are lane rolls with a row-carry fix at lanes 0/127;
   face edges clamp to the edge texel (replication, exactly the padded
   central difference the XLA path computes).
@@ -59,7 +63,7 @@ from planet_tpu.ops.kernels import perlin_pallas as pk
 _F32 = jnp.float32
 _I32 = jnp.int32
 LANES = 128
-DEFAULT_BLOCK_ROWS = 256
+DEFAULT_BLOCK_ROWS = 512
 
 
 @functools.lru_cache(maxsize=None)
@@ -126,41 +130,58 @@ def _make_field_kernel(n: int, block_rows: int, kind: str, octaves: int,
     ny_const = np.float32(2.0 * xyscale)
     amp = np.float32(amplitude)
 
-    def kernel(abc_ref, ct_ref, pt_ref, h_ref, shade_ref):
+    def kernel(abc_ref, ct_ref, pt_ref, h_ref, shade_ref, carry_ref):
         f = pl.program_id(0)
         b = pl.program_id(1)
 
-        base = (b * block_rows - hb) * LANES
-        rr = jax.lax.broadcasted_iota(_I32, (ext, LANES), 0)
-        lane = jax.lax.broadcasted_iota(_I32, (ext, LANES), 1)
-        idx = base + rr * LANES + lane          # flat face index (halo may
-        col = idx & nmask                       # run off the face: benign,
-        row = jax.lax.shift_right_arithmetic(idx, np.int32(log2n))
+        def eval_heights(base, rows):
+            # noise heights for `rows` flat rows starting at flat row
+            # base//LANES (halo may run off the face: benign, masked below)
+            rr = jax.lax.broadcasted_iota(_I32, (rows, LANES), 0)
+            lane = jax.lax.broadcasted_iota(_I32, (rows, LANES), 1)
+            idx = base + rr * LANES + lane
+            col = idx & nmask
+            row = jax.lax.shift_right_arithmetic(idx, np.int32(log2n))
 
-        a = (2 * col + (1 - n)).astype(_F32) * inv_n      # exact f32
-        bv = (2 * row + (1 - n)).astype(_F32) * inv_n
+            a = (2 * col + (1 - n)).astype(_F32) * inv_n      # exact f32
+            bv = (2 * row + (1 - n)).astype(_F32) * inv_n
 
-        # sphere scale: K / sqrt(1 + a^2 + b^2), K = radius*coord_scale (DF)
-        a2 = a * a                               # exact: <= 24-bit products
-        b2 = bv * bv
-        s1, e1 = pk._quick_two_sum(np.float32(1.0), a2)
-        s2, e2 = pk._quick_two_sum(s1, b2)
-        n2h, n2l = pk._quick_two_sum(s2, e1 + e2)
-        sh, sl = _df_sqrt(n2h, n2l)
-        invh, invl = _df_div_const(k_hi, k_lo, sh, sl)
+            # sphere scale: K/sqrt(1 + a^2 + b^2), K = radius*coord_scale (DF)
+            a2 = a * a                           # exact: <= 24-bit products
+            b2 = bv * bv
+            s1, e1 = pk._quick_two_sum(np.float32(1.0), a2)
+            s2, e2 = pk._quick_two_sum(s1, b2)
+            n2h, n2l = pk._quick_two_sum(s2, e1 + e2)
+            sh, sl = _df_sqrt(n2h, n2l)
+            invh, invl = _df_div_const(k_hi, k_lo, sh, sl)
 
-        # cube position per component from the per-face affine constants
-        coords = []
-        for j in range(3):
-            qj = (abc_ref[f, j, 0] + abc_ref[f, j, 1] * a
-                  + abc_ref[f, j, 2] * bv)       # exact f32 (one term nonzero)
-            p, e = _two_prod(invh, qj)
-            e = e + invl * qj
-            coords.extend(pk._quick_two_sum(p, e))
+            # cube position per component from the per-face affine constants
+            coords = []
+            for j in range(3):
+                qj = (abc_ref[f, j, 0] + abc_ref[f, j, 1] * a
+                      + abc_ref[f, j, 2] * bv)   # exact f32 (one term nonzero)
+                p, e = _two_prod(invh, qj)
+                e = e + invl * qj
+                coords.extend(pk._quick_two_sum(p, e))
 
-        value = pk.accumulate_octaves(kind, octaves, lacunarity, gain,
-                                      ct_ref, pt_ref, *coords)
-        h_ext = value * amp
+            value = pk.accumulate_octaves(kind, octaves, lacunarity, gain,
+                                          ct_ref, pt_ref, *coords)
+            return value * amp
+
+        # Halo carry: the grid is sequential in b, so the top halo
+        # (flat rows [b*BR - hb, b*BR + hb)) is exactly the tail of the
+        # previous block's computed span — read it from VMEM scratch instead
+        # of recomputing (same absolute coords => bit-identical values).
+        # Only the first block of a face evaluates its own top strip; its
+        # off-face half (rows < 0) is junk but every use is masked by the
+        # row_c == 0 edge clamp below.
+        @pl.when(b == 0)
+        def _():
+            carry_ref[:] = eval_heights((b * block_rows - hb) * LANES, 2 * hb)
+
+        h_new = eval_heights((b * block_rows + hb) * LANES, block_rows)
+        h_ext = jnp.concatenate([carry_ref[:], h_new], axis=0)
+        carry_ref[:] = h_new[block_rows - 2 * hb:]
 
         cs = slice(hb, hb + block_rows)          # center rows
         h_c = h_ext[cs]
@@ -179,7 +200,10 @@ def _make_field_kernel(n: int, block_rows: int, kind: str, octaves: int,
                             pltpu.roll(right, ext - 1, 0)[cs], right[cs])
 
         # face-edge clamp = edge replication (the XLA path's h_pad)
-        col_c, row_c = col[cs], row[cs]
+        rr_c = jax.lax.broadcasted_iota(_I32, (block_rows, LANES), 0)
+        idx_c = b * block_rows * LANES + rr_c * LANES + lane_c
+        col_c = idx_c & nmask
+        row_c = jax.lax.shift_right_arithmetic(idx_c, np.int32(log2n))
         h_l = jnp.where(col_c == 0, h_c, left_c)
         h_r = jnp.where(col_c == nmask, h_c, right_c)
         h_un = jnp.where(row_c == 0, h_c, h_u)
@@ -213,13 +237,20 @@ def _build_field_call(n: int, block_rows: int, kind: str, octaves: int,
                               memory_space=pltpu.VMEM)
     abc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     out_shape = jax.ShapeDtypeStruct((6 * rows_per_face, LANES), jnp.float32)
+    # The default 16 MB *scoped*-VMEM budget caps block_rows at 512; v5e has
+    # 128 MB of VMEM, and larger blocks amortize the flat halo recompute
+    # (overhead = 2*(n/128)/block_rows). Raise the cap so 1024-row blocks fit.
+    params = None if interpret else pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024)
     return pl.pallas_call(
         kernel,
         out_shape=(out_shape, out_shape),
         grid=(6, nb),
         in_specs=[abc_spec] + [table_spec] * 2,
         out_specs=(out_spec, out_spec),
+        scratch_shapes=[pltpu.VMEM((2 * (n // LANES), LANES), jnp.float32)],
         interpret=interpret,
+        compiler_params=params,
     )
 
 
@@ -240,6 +271,8 @@ def field_cube(n: int, radius: float, *, kind="ridged", octaves=6,
     block_rows = min(int(block_rows), rows_per_face)
     while rows_per_face % block_rows:
         block_rows //= 2
+    # the halo carry needs the previous block to cover a full 2-row halo
+    block_rows = max(block_rows, 2 * (n // LANES))
     if xyscale is None:
         xyscale = (np.pi / 2) * float(radius) / n
     if light is None:

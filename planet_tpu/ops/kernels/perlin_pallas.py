@@ -224,14 +224,17 @@ def _noise3_core(ct, pt, cx, fx, fxm1, cy, fy, fym1, cz, fz, fzm1):
 
     def grad2(pb_shift, gx, gy):
         # corner column (dx, dy) fixed by b = t[a+iy(+1)]; returns the dz=0
-        # (frac fz) and dz=1 (frac fzm1) gradient dots.
+        # (frac fz) and dz=1 (frac fzm1) gradient dots. No &63 field masks:
+        # each 2-bit extract below reads bits <= 11 of the pair word, and
+        # _lookup_pair's unmasked junk lives at bits >= 16, so the field
+        # isolation masks would be dead ops (2 per corner column).
         s2 = _lookup_pair(pt, pb_shift + cz)
         def dot(s, gz):
             sx = (s & 3).astype(_F32) - one
             sy = ((s >> 2) & 3).astype(_F32) - one
             sz = ((s >> 4) & 3).astype(_F32) - one
             return (gx * sx + gy * sy) + gz * sz
-        return dot(s2 & 63, fz), dot((s2 >> 6) & 63, fzm1)
+        return dot(s2, fz), dot(s2 >> 6, fzm1)
 
     g000, g001 = grad2(pb0, fx, fy)
     g010, g011 = grad2(pb0 >> 8, fx, fym1)
