@@ -70,6 +70,19 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "rows",
     return Mesh(np.array(devs), (axis,))
 
 
+def make_mesh_2d(n_slices: int, rows_per_slice: int, axis: str = "rows",
+                 devices=None) -> Mesh:
+    """(n_slices, rows_per_slice) mesh with axes ("slice", axis): the outer
+    "slice" axis is the DCN-spanning pod/slice dimension, the inner axis the
+    ICI row dimension. See docs/multislice.md for the collective layout."""
+    devs = list(devices) if devices is not None else jax.devices()
+    n = n_slices * rows_per_slice
+    if len(devs) < n:
+        raise ValueError(f"need {n} devices, have {len(devs)}")
+    return Mesh(np.array(devs[:n]).reshape(n_slices, rows_per_slice),
+                ("slice", axis))
+
+
 def sharded_field_step(mesh: Mesh, *, octaves: int = 6, kind: str = "ridged",
                        xyscale: float = 1000.0, use_pallas: bool = False,
                        interpret: Optional[bool] = None, axis: str = "rows",
@@ -85,15 +98,26 @@ def sharded_field_step(mesh: Mesh, *, octaves: int = 6, kind: str = "ridged",
     n = mesh.shape[axis]
     if seam not in ("exchange", "clamp"):
         raise ValueError(seam)
+    # Optional multi-slice (DCN) dimension: a mesh with a leading "slice"
+    # axis shards FACES over slices (docs/multislice.md). Bulk row halos
+    # then stay on intra-slice ICI; only the tiny 6x4 face-edge ring psum
+    # and the frame stats cross the DCN boundary.
+    n_slices = mesh.shape.get("slice", 1)
+    red_axes = ("slice", axis) if n_slices > 1 else axis
+    if 6 % n_slices:
+        raise ValueError(f"slice axis must divide 6 faces: {n_slices}")
+    fl = 6 // n_slices                               # local faces per slice
 
     def step(px_hi, px_lo, py_hi, py_lo, pz_hi, pz_lo):
         from planet_tpu.nums.df import DF
         h = heightfield.heights_df(
             DF(px_hi, px_lo), DF(py_hi, py_lo), DF(pz_hi, pz_lo),
             kind=kind, octaves=octaves, use_pallas=use_pallas,
-            interpret=interpret)                     # (6, H/n, W) local
+            interpret=interpret)                     # (6/S, H/n, W) local
         hl, w = h.shape[1], h.shape[2]
         hg = hl * n                                  # global rows
+        f0 = (jnp.int32(0) if n_slices == 1 else
+              (lax.axis_index("slice") * fl).astype(jnp.int32))
 
         # --- strip halos: one boundary row each way between row neighbors
         idx = lax.axis_index(axis)
@@ -108,24 +132,32 @@ def sharded_field_step(mesh: Mesh, *, octaves: int = 6, kind: str = "ridged",
             # --- global face-edge ring from disjoint contributions
             r0 = (idx * hl).astype(jnp.int32)
             zero = jnp.int32(0)
-            ring = jnp.zeros((6, 4, hg), _F32)
-            ring = lax.dynamic_update_slice(
-                ring, h[:, :, -1][:, None, :], (zero, jnp.int32(1), r0))
-            ring = lax.dynamic_update_slice(
-                ring, h[:, :, 0][:, None, :], (zero, jnp.int32(3), r0))
+            ring_l = jnp.zeros((fl, 4, hg), _F32)
+            ring_l = lax.dynamic_update_slice(
+                ring_l, h[:, :, -1][:, None, :], (zero, jnp.int32(1), r0))
+            ring_l = lax.dynamic_update_slice(
+                ring_l, h[:, :, 0][:, None, :], (zero, jnp.int32(3), r0))
             is_top = (idx == 0).astype(_F32)
             is_bot = (idx == n - 1).astype(_F32)
-            ring = ring.at[:, 0, :].add(h[:, 0, :] * is_top)
-            ring = ring.at[:, 2, :].add(h[:, -1, :] * is_bot)
-            ring = lax.psum(ring, axis)
+            ring_l = ring_l.at[:, 0, :].add(h[:, 0, :] * is_top)
+            ring_l = ring_l.at[:, 2, :].add(h[:, -1, :] * is_bot)
+            if n_slices == 1:
+                ring = ring_l
+            else:
+                ring = lax.dynamic_update_slice(
+                    jnp.zeros((6, 4, hg), _F32), ring_l, (f0, zero, zero))
+            ring = lax.psum(ring, red_axes)
 
-            top_own, bot_own, left, right = _seam_lines(ring)
-            top_halo = jnp.where(idx == 0, top_own[:, None, :], from_above)
-            bot_halo = jnp.where(idx == n - 1, bot_own[:, None, :],
+            top_all, bot_all, left, right = _seam_lines(ring)
+            if n_slices > 1:                 # this slice's local faces
+                top_all = lax.dynamic_slice(top_all, (f0, zero), (fl, hg))
+                bot_all = lax.dynamic_slice(bot_all, (f0, zero), (fl, hg))
+            top_halo = jnp.where(idx == 0, top_all[:, None, :], from_above)
+            bot_halo = jnp.where(idx == n - 1, bot_all[:, None, :],
                                  from_below)
             h_rows = jnp.concatenate([top_halo, h, bot_halo], axis=1)
-            lcol = lax.dynamic_slice(left, (zero, r0), (6, hl))
-            rcol = lax.dynamic_slice(right, (zero, r0), (6, hl))
+            lcol = lax.dynamic_slice(left, (f0, r0), (fl, hl))
+            rcol = lax.dynamic_slice(right, (f0, r0), (fl, hl))
             # pad halo columns to the extended rows (corner texels are never
             # read by the central-difference normal; clamp them)
             lc = jnp.concatenate([lcol[:, :1], lcol, lcol[:, -1:]], axis=1)
@@ -143,11 +175,11 @@ def sharded_field_step(mesh: Mesh, *, octaves: int = 6, kind: str = "ridged",
         sh = shade_mod.lambert(normal)
 
         # --- collective stats
-        texels = lax.psum(jnp.float32(h.size), axis)
-        checksum = lax.psum(jnp.sum(h, dtype=jnp.float32), axis)
+        texels = lax.psum(jnp.float32(h.size), red_axes)
+        checksum = lax.psum(jnp.sum(h, dtype=jnp.float32), red_axes)
         return h, sh, jnp.stack([texels, checksum])
 
-    specs = P(None, axis, None)
+    specs = P(None if n_slices == 1 else "slice", axis, None)
     mapped = shard_map(step, mesh=mesh,
                        in_specs=(specs,) * 6,
                        out_specs=(specs, specs, P()))

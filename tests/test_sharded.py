@@ -37,6 +37,34 @@ def test_sharded_equals_unsharded():
     np.testing.assert_allclose(np.asarray(st_s), np.asarray(st_u), rtol=1e-6)
 
 
+def test_sharded_2d_slice_mesh_equals_unsharded():
+    """Multi-slice (DCN) layout, docs/multislice.md: a (2, 4) mesh with
+    faces sharded over the outer "slice" axis and rows over the inner ICI
+    axis must still be bitwise-equal to the unsharded program — the
+    face-seam ring psum now crosses the slice boundary."""
+    comps = _points()
+    mesh = sharded.make_mesh_2d(2, 4)
+    f_sh = sharded.sharded_field_step(mesh, octaves=4, xyscale=1000.0)
+    f_un = sharded.unsharded_field_step(octaves=4, xyscale=1000.0)
+    h_s, sh_s, st_s = f_sh(*comps)
+    h_u, sh_u, st_u = f_un(*comps)
+    np.testing.assert_array_equal(np.asarray(h_s), np.asarray(h_u))
+    np.testing.assert_array_equal(np.asarray(sh_s), np.asarray(sh_u))
+    np.testing.assert_allclose(np.asarray(st_s), np.asarray(st_u), rtol=1e-6)
+
+
+def test_sharded_2d_clamp_mode():
+    comps = _points(H=16, W=16)
+    mesh = sharded.make_mesh_2d(3, 2)
+    f_sh = sharded.sharded_field_step(mesh, octaves=2, xyscale=500.0,
+                                      seam="clamp")
+    f_un = sharded.unsharded_field_step(octaves=2, xyscale=500.0,
+                                        seam="clamp")
+    _, sh_s, _ = f_sh(*comps)
+    _, sh_u, _ = f_un(*comps)
+    np.testing.assert_array_equal(np.asarray(sh_s), np.asarray(sh_u))
+
+
 def test_sharded_on_subset_mesh():
     comps = _points(H=16, W=16)
     mesh = sharded.make_mesh(4)
