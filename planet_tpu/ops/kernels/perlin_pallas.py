@@ -62,7 +62,8 @@ _F32 = jnp.float32
 _I32 = jnp.int32
 
 LANES = 128
-DEFAULT_BLOCK_ROWS = 256
+DEFAULT_BLOCK_ROWS = 512        # A/B on v5e: 3.45 G ridged-6 texels/s
+                                # vs 3.30 at 256 (scoped-VMEM caps 1024)
 
 
 def _packed_sign_table() -> np.ndarray:
@@ -399,6 +400,11 @@ def noise_df(kind, xhi, xlo, yhi, ylo, zhi, zlo, *, lacunarity=2.0,
     shape = jnp.shape(xhi)
     n = int(np.prod(shape)) if shape else 1
 
+    # Adapt the block to the input: small batches (the refiner's frontier
+    # probes) should not pad up to a full default block, and blocks stay
+    # sublane-aligned. Large inputs keep the requested (default) size.
+    rows_needed = -(-n // LANES)
+    block_rows = max(8, min(int(block_rows), -(-rows_needed // 8) * 8))
     chunk = block_rows * LANES
     rows_total = -(-n // chunk) * block_rows   # pad to whole blocks
     pad = rows_total * LANES - n
