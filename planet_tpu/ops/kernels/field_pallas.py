@@ -67,6 +67,34 @@ DEFAULT_BLOCK_ROWS = 512
 
 
 @functools.lru_cache(maxsize=None)
+def _device_vmem_bytes() -> int:
+    """Per-core VMEM of the local default device. v2/v3 cores have 16 MiB;
+    v4 and later (incl. v5e/v5p/v6e) have 128 MiB. Conservative 16 MiB when
+    the platform is unknown (CPU interpret runs never reach this)."""
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return 16 * 1024 * 1024
+    if "v2" in kind or "v3" in kind:
+        return 16 * 1024 * 1024
+    return 128 * 1024 * 1024
+
+
+def _max_block_rows_for_vmem() -> int:
+    """Largest block_rows the local device's VMEM comfortably fits. The
+    octave accumulator's live set measures ~24 KB per block row (512-row
+    blocks just fit the default 16 MiB scoped budget), so size against
+    3/4 of the device's VMEM: 512 rows on 16 MiB parts (v2/v3), 4096 on
+    128 MiB parts (v4+)."""
+    budget = _device_vmem_bytes() * 3 // 4
+    rows = budget // (48 * LANES * 4)
+    p = 128
+    while p * 2 <= rows:
+        p *= 2
+    return p
+
+
+@functools.lru_cache(maxsize=None)
 def _face_affine_np():
     """(6, 3, 3) f32: [face, component j, {C, A, B}] with
     q_j(u, v) = C + A*(2u-1) + B*(2v-1) on the +-1 cube, matching
@@ -239,9 +267,16 @@ def _build_field_call(n: int, block_rows: int, kind: str, octaves: int,
     out_shape = jax.ShapeDtypeStruct((6 * rows_per_face, LANES), jnp.float32)
     # The default 16 MB *scoped*-VMEM budget caps block_rows at 512; v5e has
     # 128 MB of VMEM, and larger blocks amortize the flat halo recompute
-    # (overhead = 2*(n/128)/block_rows). Raise the cap so 1024-row blocks fit.
+    # (overhead = 2*(n/128)/block_rows). Raise the cap so 1024-row blocks fit,
+    # clamped to the local device's VMEM on smaller generations (v2/v3).
+    # dimension_semantics pins both grid axes SEQUENTIAL ("arbitrary"): the
+    # halo carry in carry_ref is only correct when block b+1 runs after b on
+    # the same core — a parallel/megacore partition of the grid would
+    # silently corrupt block halos.
     params = None if interpret else pltpu.CompilerParams(
-        vmem_limit_bytes=100 * 1024 * 1024)
+        dimension_semantics=("arbitrary", "arbitrary"),
+        vmem_limit_bytes=min(100 * 1024 * 1024,
+                             _device_vmem_bytes() * 3 // 4))
     return pl.pallas_call(
         kernel,
         out_shape=(out_shape, out_shape),
@@ -269,6 +304,8 @@ def field_cube(n: int, radius: float, *, kind="ridged", octaves=6,
         interpret = not pk._is_tpu()
     rows_per_face = n * n // LANES
     block_rows = min(int(block_rows), rows_per_face)
+    if not interpret:
+        block_rows = min(block_rows, _max_block_rows_for_vmem())
     while rows_per_face % block_rows:
         block_rows //= 2
     # the halo carry needs the previous block to cover a full 2-row halo

@@ -74,13 +74,38 @@ def make_mesh_2d(n_slices: int, rows_per_slice: int, axis: str = "rows",
                  devices=None) -> Mesh:
     """(n_slices, rows_per_slice) mesh with axes ("slice", axis): the outer
     "slice" axis is the DCN-spanning pod/slice dimension, the inner axis the
-    ICI row dimension. See docs/multislice.md for the collective layout."""
+    ICI row dimension. See docs/multislice.md for the collective layout.
+
+    When devices expose `slice_index` (real multi-slice TPU), devices are
+    grouped by it so each inner row provably lies within one ICI slice —
+    the whole point of the 2-axis layout is that the bulk per-row halo
+    ppermutes ride ICI; a device order mixing slices within a row would be
+    numerically correct but route them over DCN. Raises if the slices
+    cannot be tiled evenly onto the requested shape."""
     devs = list(devices) if devices is not None else jax.devices()
     n = n_slices * rows_per_slice
     if len(devs) < n:
         raise ValueError(f"need {n} devices, have {len(devs)}")
-    return Mesh(np.array(devs[:n]).reshape(n_slices, rows_per_slice),
-                ("slice", axis))
+    slice_ids = [getattr(d, "slice_index", None) for d in devs]
+    if all(s is not None for s in slice_ids) and len(set(slice_ids)) > 1:
+        by_slice = {}
+        for d, s in zip(devs, slice_ids):
+            by_slice.setdefault(s, []).append(d)
+        rows = []
+        for s in sorted(by_slice):
+            group = by_slice[s]
+            if len(group) % rows_per_slice:
+                raise ValueError(
+                    f"slice {s} has {len(group)} devices; cannot tile rows "
+                    f"of {rows_per_slice} within one ICI slice")
+            rows.extend(group[i:i + rows_per_slice]
+                        for i in range(0, len(group), rows_per_slice))
+        if len(rows) < n_slices:
+            raise ValueError(f"need {n_slices} mesh rows, have {len(rows)}")
+        arr = np.array(rows[:n_slices])
+    else:
+        arr = np.array(devs[:n]).reshape(n_slices, rows_per_slice)
+    return Mesh(arr, ("slice", axis))
 
 
 def sharded_field_step(mesh: Mesh, *, octaves: int = 6, kind: str = "ridged",

@@ -297,6 +297,12 @@ def _fragments(t: _Tris, live, px, py, width: int, height: int,
                      np.float32(2**_SHADE_BITS - 1)).astype(_I32)
     packed = (zq << _SHADE_BITS) | sq
     idx = jnp.where(ok, py * width + px, width * height)
+    # CONTRACT: `packed` is only meaningful where idx < width*height.
+    # Rejected lanes carry an out-of-range negative f32->i32 cast
+    # (backend-defined bits, possibly INT_MIN — which would win any
+    # min-merge); every consumer MUST mask by the dump index before
+    # comparing (buf[:n_pix] slice here, idx < width*height in the
+    # Pallas huge-triangle pass).
     return idx.reshape(-1), packed.reshape(-1)
 
 

@@ -7,8 +7,9 @@ policy (ProcessQuad split threshold, main.cpp:558-571) keeps patch cells at
 this workload: every patch grid vertex becomes a fragment, depth-tested with
 one `scatter-min` of packed (depth, shade) int32 keys — measured at ~HBM
 speed on v5e — followed by a 3x3 min hole-fill for cells that project
-slightly wider than a pixel. Exact edge/area coverage for large triangles
-(very near camera) is a later refinement (raster/binned.py).
+slightly wider than a pixel. Exact edge/area coverage (the engine default)
+lives in raster/coverage.py; this splat path remains as the cheap
+approximate backend (config raster_mode="splat").
 
 Depth packing: 21-bit quantized NDC depth in the high bits, 10-bit shade in
 the low bits — min() picks the nearest fragment and its shade rides along.
