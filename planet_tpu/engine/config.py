@@ -38,6 +38,13 @@ class EngineConfig:
     raster_mode: str = "exact"
     raster_supersample: int = 4        # splat fragments per cell edge
     check_finite: bool = False         # per-frame NaN/inf tile guard
+    # LOD quality dial: multiplies the split threshold d (split iff
+    # 2*dist^2 < lod_quality * d). 1.0 is exactly the reference rule
+    # (main.cpp:558-571, the hardcoded 2.5 ladder); larger values refine
+    # deeper at the same distance — the reference's rule is resolution-
+    # independent and saturates at ~250 leaves from any camera (measured,
+    # docs/RESULTS_r4.md), so higher-resolution targets buy quality here.
+    lod_quality: float = 1.0
 
     @property
     def patch_quads(self) -> int:

@@ -119,7 +119,8 @@ def build_device_render(cfg: EngineConfig, width: int, height: int, *,
         ref = refine_device.refine_device(
             cam_hi, cam_lo, root_lo, root_hi, root_ch, root_cl,
             max_lod=max_lod, cap=cap, radius=cfg.radius,
-            probe_fn_name=probe, root_depth=root_depth, transposed=True)
+            probe_fn_name=probe, root_depth=root_depth, transposed=True,
+            quality=cfg.lod_quality)
         n = ref.n_leaves
         row = jnp.arange(cap)
         active = row < n

@@ -192,7 +192,8 @@ class PlanetEngine:
             self._probe_cache.clear()
         res = lod_refine.refine(camera.position, c.max_lod, c.radius,
                                 height_fn=self._height_fn,
-                                probe_cache=self._probe_cache)
+                                probe_cache=self._probe_cache,
+                                quality=c.lod_quality)
         n = len(res.ids)
 
         # 2. cache policy

@@ -70,7 +70,8 @@ def _subdivide_batch(corners, radius):
 
 
 def refine(camera_position, max_lod: int, radius: float = RADIUS_DEFAULT,
-           height_fn=None, probe_cache=None) -> RefineResult:
+           height_fn=None, probe_cache=None,
+           quality: float = 1.0) -> RefineResult:
     """Breadth-first refinement against one camera.
 
     height_fn(points (..., 3) f64) -> f32 probe heights; defaults to the
@@ -81,6 +82,9 @@ def refine(camera_position, max_lod: int, radius: float = RADIUS_DEFAULT,
     heights are pure functions of quad geometry, so caching across frames
     is exact; the visited tree changes little per camera step, making the
     refine cost ~the tree-walk alone on warm frames.
+
+    quality: split-threshold multiplier (EngineConfig.lod_quality);
+    1.0 is bit-exactly the reference rule.
     """
     cam = np.asarray(camera_position, np.float64)
     if height_fn is None:
@@ -137,6 +141,8 @@ def refine(camera_position, max_lod: int, radius: float = RADIUS_DEFAULT,
         d21 = probes[:, 2] - probes[:, 1]
         d = ((d30 * d30).sum(-1) + (d21 * d21).sum(-1)) \
             / (1.0 + 2.5 * lod / max_lod)
+        if quality != 1.0:
+            d = d * np.float64(quality)
         dc = probes - cam[None, None, :]
         dist2 = (dc * dc).sum(-1)                     # (N, 5)
         split = (dist2 * 2.0 < d[:, None]).any(axis=1)

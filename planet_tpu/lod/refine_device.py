@@ -148,11 +148,13 @@ def _subdivide_t(ch, cl, radius):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "max_lod", "cap", "radius", "probe_fn_name", "tight", "transposed"))
+    "max_lod", "cap", "radius", "probe_fn_name", "tight", "transposed",
+    "quality"))
 def refine_device(cam_hi, cam_lo, root_lo, root_hi, root_ch, root_cl,
                   *, max_lod: int, cap: int, radius: float,
                   probe_fn_name: str = "zero", root_depth=None,
-                  tight=(128, 512), transposed: bool = False):
+                  tight=(128, 512), transposed: bool = False,
+                  quality: float = 1.0):
     """Full-device refinement. Roots: (R,) id words + (R, 4, 3) DF corners
     — the 6 cube faces by default, or any frontier of same-tree quads (the
     sharded engine refines per-chip SUBTREES from depth-1 roots,
@@ -174,6 +176,11 @@ def refine_device(cam_hi, cam_lo, root_lo, root_hi, root_ch, root_cl,
     (12, cap) layout (row = corner*3 + axis) — the fused engine consumes
     this directly so the post-sort permutation is a lane gather; the
     default converts back to (cap, 4, 3).
+
+    quality: split-threshold multiplier (EngineConfig.lod_quality, static);
+    1.0 compiles to bit-exactly the reference rule, other values multiply
+    the threshold d in double-float to match the host refiner's f64
+    `d * quality`.
     """
     n0 = root_lo.shape[0]
     if isinstance(tight, int):
@@ -297,6 +304,10 @@ def refine_device(cam_hi, cam_lo, root_lo, root_hi, root_ch, root_cl,
             dfm.mul(dfm.from_f32(jnp.float32(2.5)), dfm.from_f32(lodf)),
             dfm.from_f32(jnp.float32(max_lod))))
         d = dfm.div(diag, denom)                             # (W,) DF
+        if quality != 1.0:
+            qh = np.float32(quality)
+            ql = np.float32(np.float64(quality) - np.float64(qh))
+            d = dfm.mul(d, dfm.DF(jnp.float32(qh), jnp.float32(ql)))
 
         relx = dfm.sub(dx, dfm.DF(cam.hi[0], cam.lo[0]))
         rely = dfm.sub(dy, dfm.DF(cam.hi[1], cam.lo[1]))

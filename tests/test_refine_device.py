@@ -103,6 +103,38 @@ def test_device_refine_matches_host_terrain_orbit():
             f"of {len(want)} leaves")
 
 
+def test_device_refine_quality_matches_host():
+    """lod_quality != 1 must keep the device refiner leaf-set equal to the
+    host refiner's (the dial multiplies the split threshold d in both; the
+    device does it in double-float, host in f64). Also sanity-check the
+    dial's direction: quality > 1 refines at least as deep."""
+    max_lod = 7
+    lo, hi, ch, cl = _roots()
+    cam_dir = np.array([0.3, 0.25, -0.9])
+    cam_dir /= np.linalg.norm(cam_dir)
+    cam = cam_dir * (RADIUS + 30e3)
+    cam_df = dfm.from_f64(cam)
+
+    n_prev = 0
+    for q in (1.0, 3.0, 8.0):
+        host = refine.refine(cam, max_lod, RADIUS,
+                             height_fn=_ridged6_height_fn, quality=q)
+        dev = refine_device.refine_device(
+            np.asarray(cam_df.hi), np.asarray(cam_df.lo), lo, hi, ch, cl,
+            max_lod=max_lod, cap=8192, radius=RADIUS,
+            probe_fn_name="ridged6", quality=q)
+        assert not bool(dev.overflowed)
+        n = int(dev.n_leaves)
+        got = set(int(x) for x in quadid.from_words(
+            np.asarray(dev.leaf_lo[:n]), np.asarray(dev.leaf_hi[:n])))
+        want = set(int(x) for x in host.ids)
+        assert got == want, (
+            f"quality={q}: {len(got - want)} extra, {len(want - got)} "
+            f"missing of {len(want)} leaves")
+        assert n >= n_prev
+        n_prev = n
+
+
 def test_device_refine_overflow_flag():
     cam = np.array([0.0, 0.0, -(RADIUS + 50.0)])   # very close: deep splits
     lo, hi, ch, cl = _roots()
