@@ -382,7 +382,7 @@ def _setup_t(clip, normal, valid, width: int, height: int, cell_mask=None):
     _setup materializes (N, 3) / (N, 3, 3) per-triangle arrays whose tiny
     minor dims force tiled relayout copies (measured ~4.7 ms of the 1080p
     frame); this variant keeps every field a flat (N,) lane-major array and
-    emits the (32, N + 1) record matrix directly. All arithmetic is the
+    emits the (32, N) record matrix directly. All arithmetic is the
     same op sequence as _setup + _fragments' per-triangle prologue, so
     fragment values stay bit-identical.
 
@@ -402,7 +402,7 @@ def _setup_t(clip, normal, valid, width: int, height: int, cell_mask=None):
     cells. Candidate ORDER therefore differs from _setup — harmless, the
     framebuffer min-composite is order-independent.
 
-    Returns (tm (32, N + 1), live (N,), bw (N,), bh (N,))."""
+    Returns (tm (32, N), live (N,), bw (N,), bh (N,))."""
     w4 = clip[..., 3]
     ok_w = valid & (w4 > _W_MIN)
     inv_w = jnp.where(ok_w, 1.0 / jnp.where(ok_w, w4, 1.0), 0.0)
@@ -509,8 +509,11 @@ def _setup_t(clip, normal, valid, width: int, height: int, cell_mask=None):
             px1c.astype(_F32), py1c.astype(_F32),
             live.astype(_F32),
             b0, b1, b2]
+    rows += [jnp.zeros_like(dx0)] * (_REC_COLS - len(rows))
+    # no pad column: _gather_packed_t masks out-of-range indices to zero
+    # records instead (the old (·, N+1) pad column cost a 0.4 ms XLA pad
+    # copy of the 33 MB record matrix every frame)
     tm = jnp.concatenate([r[None, :].astype(_F32) for r in rows], axis=0)
-    tm = jnp.pad(tm, ((0, _REC_COLS - tm.shape[0]), (0, 1)))
     # aligned 8-row block span: how many sublane-aligned framebuffer row
     # blocks the clamped bbox touches — the Pallas ladder bins by this
     # (window height exactly 8*span, no alignment padding rows)
@@ -582,8 +585,9 @@ def _quad_live_t(clip, valid, width: int, height: int, cell_mask=None):
 
 def _gather_packed_t(mt, idxs):
     """Column-gather of transposed records -> (32, len(idxs)), records
-    still as COLUMNS (same values as _gather_packed; the pad index hits
-    the zero column).
+    still as COLUMNS (same values as _gather_packed; out-of-range indices
+    — the compaction's dump value — yield all-zero records via a post-
+    gather mask, replacing the old physical pad column).
 
     The result stays in the (32, K) lane-major layout end to end: the
     Pallas kernels read records as (32, TRI_BLOCK) column blocks, so no
@@ -593,9 +597,11 @@ def _gather_packed_t(mt, idxs):
     operand cost ~0.85 ms per 65k records at 1080p (tiny-minor-dim tiled
     copy). The barrier stops XLA from fusing the gather into every
     downstream consumer."""
-    n = mt.shape[1] - 1
-    safe = jnp.minimum(idxs, n)
-    return jax.lax.optimization_barrier(jnp.take(mt, safe, axis=1))
+    n = mt.shape[1]
+    safe = jnp.minimum(idxs, n - 1)
+    g = jnp.where((idxs < n)[None, :], jnp.take(mt, safe, axis=1),
+                  jnp.float32(0.0))
+    return jax.lax.optimization_barrier(g)
 
 
 def _row_job_pass(tt_m, job_idx, max_bh: int, win_w: int,

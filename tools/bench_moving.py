@@ -6,12 +6,15 @@ camera moves (main.cpp:653). This tool drives a descending strafing orbit,
 reports per-frame leaves/generated/overflow, and slope-times the sustained
 moving frame.
 
-Usage: python tools/bench_moving.py [quality] [render_cap] [omega_mrad] [n_frames]
+Usage: python tools/bench_moving.py [quality] [render_cap] [omega_mrad] [n_frames] [cap]
 """
 import sys, pathlib, time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import numpy as np
 import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 import jax.numpy as jnp
 
 from planet_tpu.engine.config import EngineConfig
@@ -23,6 +26,7 @@ quality = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
 render_cap = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
 omega = float(sys.argv[3]) if len(sys.argv) > 3 else 1.0   # mrad/frame
 n_frames = int(sys.argv[4]) if len(sys.argv) > 4 else 48
+cap = int(sys.argv[5]) if len(sys.argv) > 5 else 8192
 
 cfg = EngineConfig(lod_quality=quality) if quality != 1.0 else EngineConfig()
 W, H = 1920, 1080
@@ -45,7 +49,7 @@ def camera_at(cfg, theta, alt, W, H):
 
 
 def main():
-    r = DeviceRenderer(cfg, W, H, cap=8192, gen_cap=256,
+    r = DeviceRenderer(cfg, W, H, cap=cap, gen_cap=256,
                        render_cap=render_cap)
     pool = r.init_pool()
 
