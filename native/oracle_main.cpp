@@ -434,12 +434,15 @@ static inline bool edge_accept(float e, float dx, float dy) {
     return e > 0.0f || (e == 0.0f && topleft);
 }
 
-static void raster_tri(const RVert v[3], int width, int height,
-                       int32_t *buf, long *frag_count) {
+static int raster_tri(const RVert v[3], int width, int height,
+                      int32_t *buf, long *frag_count) {
+    // returns 1 iff the triangle survived cull (front-facing, nonempty
+    // clamped bbox) and was scanned — the "live" notion the TPU record
+    // kernels use
     const float FS = -1.0f;   // GL_CW front in y-up = CCW in y-down screen
     float area2 = ((v[1].x - v[0].x) * (v[2].y - v[0].y)
                    - (v[1].y - v[0].y) * (v[2].x - v[0].x)) * FS;
-    if (!(area2 > 0.0f)) return;
+    if (!(area2 > 0.0f)) return 0;
     float minx = v[0].x, maxx = v[0].x, miny = v[0].y, maxy = v[0].y;
     for (int i = 1; i < 3; i++) {
         if (v[i].x < minx) minx = v[i].x;
@@ -451,7 +454,7 @@ static void raster_tri(const RVert v[3], int width, int height,
     int px1 = (int)floorf(maxx - 0.5f); if (px1 > width - 1) px1 = width - 1;
     int py0 = (int)ceilf(miny - 0.5f); if (py0 < 0) py0 = 0;
     int py1 = (int)floorf(maxy - 0.5f); if (py1 > height - 1) py1 = height - 1;
-    if (px0 > px1 || py0 > py1) return;
+    if (px0 > px1 || py0 > py1) return 0;
 
     float inv_area = 1.0f / area2;
     const float lx = 0.0f;
@@ -489,6 +492,41 @@ static void raster_tri(const RVert v[3], int width, int height,
             (*frag_count)++;
         }
     }
+    return 1;
+}
+
+// Near-plane Sutherland-Hodgman clip (spec shared with
+// planet_tpu/raster/nearclip.py): with the engine projection (w' = z_view)
+// the near plane is the half-space f = z + w >= 0, so clipping there
+// yields vertices with w = z_view >= near — always projectable. Clip
+// positions and normals interpolate linearly in clip space (GL's rule).
+struct CVert { float c[4]; V3f n; };
+
+static int clip_near(const CVert in[3], const float f[3], int cnt,
+                     CVert outA[3], CVert outB[3]) {
+    // rotate so the distinguished vertex (single inside for cnt==1,
+    // single outside for cnt==2) is v0 — winding preserved
+    int rot;
+    if (cnt == 1) rot = (f[0] > 0.0f) ? 0 : ((f[1] > 0.0f) ? 1 : 2);
+    else rot = !(f[0] > 0.0f) ? 0 : (!(f[1] > 0.0f) ? 1 : 2);
+    CVert v0 = in[rot], v1 = in[(rot + 1) % 3], v2 = in[(rot + 2) % 3];
+    float f0 = f[rot], f1 = f[(rot + 1) % 3], f2 = f[(rot + 2) % 3];
+    float t01 = f0 / (f0 - f1);
+    float t20 = f2 / (f2 - f0);
+    CVert i01, i20;
+    for (int k = 0; k < 4; k++) {
+        i01.c[k] = v0.c[k] + (v1.c[k] - v0.c[k]) * t01;
+        i20.c[k] = v2.c[k] + (v0.c[k] - v2.c[k]) * t20;
+    }
+    i01.n = v0.n + (v1.n - v0.n) * t01;
+    i20.n = v2.n + (v0.n - v2.n) * t20;
+    if (cnt == 1) {
+        outA[0] = v0; outA[1] = i01; outA[2] = i20;
+        return 1;
+    }
+    outA[0] = i01; outA[1] = v1; outA[2] = v2;
+    outB[0] = i01; outB[1] = v2; outB[2] = i20;
+    return 2;
 }
 
 // Vertex program for one patch vertex (the section-7 math as a function):
@@ -881,19 +919,40 @@ int main(int argc, char **argv) {
         npy_f32(dir + "tess_shade.npy", {(size_t)T, (size_t)nverts}, shade_out);
     }
 
-    // 8. full-frame render golden: refine -> generate -> tessellate ->
+    // 8. full-frame render goldens: refine -> generate -> tessellate ->
     //    exact-coverage raster at the engine's default 800x600 viewport
-    //    (the reference full frame, RenderPlanet main.cpp:600-683 + GL draw)
-    {
+    //    (the reference full frame, RenderPlanet main.cpp:600-683 + GL
+    //    draw). Scene 0 ("frame_"): the 20 km camera. Scene 1
+    //    ("nearclip_"): camera 0.6 m above the terrain surface so
+    //    triangles straddle the near plane (near=1.0, main.cpp:1074) and
+    //    the Sutherland-Hodgman clip path is exercised.
+    for (int scene = 0; scene < 2; scene++) {
         const int W = 800, H = 600;
         const int dim = 32, n = 30, nverts = n * n + 4 * n;
 
-        V3d cdir = normalize(v3(0.2, 0.5, -0.8));
-        V3d cam_pos = cdir * (kRadius + 20000.0);
-        // pitch 0.35 rad: the 50-degree FOV spans sky, horizon (~4.5 deg
-        // below horizontal at 20 km), and near terrain — the golden then
-        // exercises silhouette, background, and the full depth range
-        float angles[3] = {0.35f, 0.3f, 0.0f};
+        V3d cam_pos;
+        float angles[3];
+        std::string prefix;
+        if (scene == 0) {
+            V3d cdir = normalize(v3(0.2, 0.5, -0.8));
+            cam_pos = cdir * (kRadius + 20000.0);
+            // pitch 0.35 rad: the 50-degree FOV spans sky, horizon (~4.5
+            // deg below horizontal at 20 km), and near terrain — the
+            // golden exercises silhouette, background, the full depth range
+            angles[0] = 0.35f; angles[1] = 0.3f; angles[2] = 0.0f;
+            prefix = "frame_";
+        } else {
+            V3d cdir = normalize(v3(0.4, 0.62, -0.3));
+            double h = (double)terrain_height(cdir * kRadius, kMaxLod,
+                                              kMaxLod);
+            // 0.5 m above the surface pitched 0.6 rad down: ground cells
+            // spanning z_view <= 0 (behind the camera plane) to > 1 m
+            // (beyond near) clip at the near plane with their visible
+            // bands inside the FOV — the straddle path draws real pixels
+            cam_pos = cdir * (kRadius + h + 0.5);
+            angles[0] = 0.6f; angles[1] = 0.8f; angles[2] = 0.0f;
+            prefix = "nearclip_";
+        }
 
         // world rotation: tangent base frame + Euler Y,X,Z (main.cpp:1039-1061)
         float rot[3][3];
@@ -976,9 +1035,10 @@ int main(int argc, char **argv) {
         std::vector<uint32_t> tris = strip_triangles(build_strip(n));
 
         std::vector<int32_t> buf((size_t)W * H, kEmpty);
-        long frag_count = 0;
+        long frag_count = 0, straddle_count = 0, clipped_drawn = 0;
         std::vector<RVert> rv(nverts);
         std::vector<char> rok(nverts);
+        std::vector<VOut> vout(nverts);
 
         for (size_t li = 0; li < leaves.size(); li++) {
             const OQuad &q = leaves[li];
@@ -1001,6 +1061,7 @@ int main(int argc, char **argv) {
                 VOut o = tess_vertex(P, N, tile.data(), dim,
                                      vlist[vi*3], vlist[vi*3+1], vlist[vi*3+2],
                                      skirt, viewproj);
+                vout[vi] = o;
                 float w = o.clip[3];
                 rok[vi] = w > 1e-9f;
                 if (!rok[vi]) continue;
@@ -1013,9 +1074,61 @@ int main(int argc, char **argv) {
             }
             for (size_t ti = 0; ti + 3 <= tris.size(); ti += 3) {
                 uint32_t a = tris[ti], b = tris[ti+1], c = tris[ti+2];
-                if (!(rok[a] && rok[b] && rok[c])) continue;
-                RVert v[3] = {rv[a], rv[b], rv[c]};
-                raster_tri(v, W, H, buf.data(), &frag_count);
+                if (rok[a] && rok[b] && rok[c]) {
+                    RVert v[3] = {rv[a], rv[b], rv[c]};
+                    raster_tri(v, W, H, buf.data(), &frag_count);
+                    continue;
+                }
+                // near-plane straddler: some vertex at w <= 1e-9;
+                // clip against f = z + w >= 0 and draw the visible part
+                // (spec: planet_tpu/raster/nearclip.py)
+                CVert cv[3];
+                const uint32_t vi3[3] = {a, b, c};
+                float f[3];
+                int cnt = 0;
+                for (int k = 0; k < 3; k++) {
+                    const VOut &o = vout[vi3[k]];
+                    for (int m = 0; m < 4; m++) cv[k].c[m] = o.clip[m];
+                    cv[k].n = o.normal;
+                    f[k] = cv[k].c[2] + cv[k].c[3];
+                    if (f[k] > 0.0f) cnt++;
+                }
+                if (cnt == 0) continue;      // fully in front of near
+                // homogeneous front-face pre-filter (det3 sign is
+                // invariant under near clipping; screen winding is
+                // meaningless with mixed w signs) — mirrors
+                // nearclip.straddle_mask_t
+                float det3 =
+                    cv[0].c[0] * (cv[1].c[1] * cv[2].c[3]
+                                  - cv[2].c[1] * cv[1].c[3])
+                    - cv[0].c[1] * (cv[1].c[0] * cv[2].c[3]
+                                    - cv[2].c[0] * cv[1].c[3])
+                    + cv[0].c[3] * (cv[1].c[0] * cv[2].c[1]
+                                    - cv[2].c[0] * cv[1].c[1]);
+                if (!(det3 > 0.0f)) continue;
+                straddle_count++;
+                if (cnt == 3) continue;      // unreachable with w'=z_view
+                CVert outA[3], outB[3];
+                int nout = clip_near(cv, f, cnt, outA, outB);
+                for (int t2 = 0; t2 < nout; t2++) {
+                    const CVert *poly = (t2 == 0) ? outA : outB;
+                    RVert v[3];
+                    for (int k = 0; k < 3; k++) {
+                        float w = poly[k].c[3];
+                        float iw = 1.0f / w;
+                        v[k].x = snap16((poly[k].c[0] * iw * 0.5f + 0.5f)
+                                        * (float)W);
+                        v[k].y = snap16((0.5f - poly[k].c[1] * iw * 0.5f)
+                                        * (float)H);
+                        v[k].z = poly[k].c[2] * iw;
+                        v[k].iw = iw;
+                        v[k].niw = poly[k].n * iw;
+                    }
+                    // count only scanned (front-facing, on-screen) clipped
+                    // triangles: the TPU path's clip_run_cap demand
+                    clipped_drawn += raster_tri(v, W, H, buf.data(),
+                                                &frag_count);
+                }
             }
         }
 
@@ -1040,15 +1153,16 @@ int main(int argc, char **argv) {
         for (int r = 0; r < 4; r++) for (int c = 0; c < 4; c++) vp_flat.push_back(viewproj[r][c]);
         for (int r = 0; r < 3; r++) for (int c = 0; c < 3; c++) rot_flat.push_back(rot[r][c]);
         std::vector<int64_t> meta = {(int64_t)leaves.size(), covered,
-                                     frag_count};
+                                     frag_count, straddle_count,
+                                     clipped_drawn};
 
-        npy_f64(dir + "frame_cam.npy", {3}, camv);
-        npy_f32(dir + "frame_angles.npy", {3}, angv);
-        npy_f32(dir + "frame_rot.npy", {3, 3}, rot_flat);
-        npy_f32(dir + "frame_viewproj.npy", {4, 4}, vp_flat);
-        npy_f32(dir + "frame_image.npy", {(size_t)H, (size_t)W}, image);
-        npy_f32(dir + "frame_depth.npy", {(size_t)H, (size_t)W}, depthb);
-        npy_i64(dir + "frame_meta.npy", {3}, meta);
+        npy_f64(dir + prefix + "cam.npy", {3}, camv);
+        npy_f32(dir + prefix + "angles.npy", {3}, angv);
+        npy_f32(dir + prefix + "rot.npy", {3, 3}, rot_flat);
+        npy_f32(dir + prefix + "viewproj.npy", {4, 4}, vp_flat);
+        npy_f32(dir + prefix + "image.npy", {(size_t)H, (size_t)W}, image);
+        npy_f32(dir + prefix + "depth.npy", {(size_t)H, (size_t)W}, depthb);
+        npy_i64(dir + prefix + "meta.npy", {5}, meta);
     }
 
     printf("oracle: goldens written\n");

@@ -39,11 +39,13 @@ divide cancels inside the normalize, see _fragments).
 Documented parity deviations from the GL reference:
 * Far plane: no clipping — interpolated z > 1 depth-CLAMPS into the last
   depth quantum (GL would clip the fragment).
-* Near plane: no clipping — a triangle with ANY vertex at w <= 1e-9 is
-  culled whole (tri_ok in _setup requires all three vertices), where GL
-  would clip and draw the visible part. Planet-scale geometry straddles
-  the camera plane only when the camera is inside terrain; the engine's
-  LOD policy keeps such triangles out of the working set.
+
+Near plane: triangles straddling it (some vertex at w <= 1e-9, some part
+visible) are Sutherland-Hodgman clipped in clip space and the visible
+parts drawn — GL's behavior (raster/nearclip.py; oracle-verified on a
+near-surface camera golden). Fully-projectable triangles keep the
+fragment-level z >= -1 near test, which produces GL's fragment set
+without geometric clipping.
 """
 
 from __future__ import annotations
@@ -75,6 +77,7 @@ class RasterCounters(NamedTuple):
                                # class, huge last
     n_huge: jnp.ndarray        # () i32 needing the full-screen pass
     overflowed: jnp.ndarray    # () bool any class cap exceeded
+    n_straddle: jnp.ndarray = None   # () i32 near-plane straddlers clipped
 
 
 def _tri_corners(a, channel: bool):
@@ -563,9 +566,10 @@ def _quad_live_t(clip, valid, width: int, height: int, cell_mask=None):
         full = np.zeros((2, g, g), bool)
         full[:, :g - 1, :g - 1] = cm
         full = full & cell_ok[None]
-        tri_ok = tri_ok & jnp.asarray(full.reshape(2, 1, g * g))
+        cell_keep = jnp.asarray(full.reshape(2, 1, g * g))
     else:
-        tri_ok = tri_ok & jnp.asarray(cell_ok.reshape(1, 1, g * g))
+        cell_keep = jnp.asarray(cell_ok.reshape(1, 1, g * g))
+    tri_ok = tri_ok & cell_keep
 
     area2 = ((x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)) * FRONT_SIGN
     front = area2 > 0.0
@@ -580,7 +584,24 @@ def _quad_live_t(clip, valid, width: int, height: int, cell_mask=None):
     nonempty = ((jnp.maximum(px0, 0.0) <= jnp.minimum(px1, width - 1))
                 & (jnp.maximum(py0, 0.0) <= jnp.minimum(py1, height - 1)))
     live = tri_ok & front & nonempty                       # (2, Q, G*G)
-    return live.any(axis=(0, 2)), jnp.sum(live.astype(_I32))
+    # near-plane straddlers are NOT live (tri_ok fails on w <= _W_MIN) but
+    # must survive quad compaction — the clip pass (raster/nearclip.py)
+    # draws their visible parts. Same per-vertex rules as straddle_mask_t,
+    # including the homogeneous det3 front-face pre-filter.
+    f4 = clip[..., 2] + w4
+    v0, v1, v2 = tri3(valid)
+    wl0, wl1, wl2 = tri3(w4 <= _W_MIN)
+    f0, f1, f2 = tri3(f4 > 0.0)
+    cx0, cx1, cx2 = tri3(clip[..., 0])
+    cy0, cy1, cy2 = tri3(clip[..., 1])
+    cw0, cw1, cw2 = tri3(w4)
+    det3 = (cx0 * (cy1 * cw2 - cy2 * cw1)
+            - cy0 * (cx1 * cw2 - cx2 * cw1)
+            + cw0 * (cx1 * cy2 - cx2 * cy1))
+    straddle = ((v0 & v1 & v2) & (wl0 | wl1 | wl2) & (f0 | f1 | f2)
+                & (det3 > 0.0) & cell_keep)
+    keep = (live | straddle).any(axis=(0, 2))
+    return keep, jnp.sum(live.astype(_I32))
 
 
 def _gather_packed_t(mt, idxs):
@@ -676,7 +697,8 @@ def raster_frame(clip, normal, valid, width: int, height: int, *,
                  ladder=ROW_LADDER, tri_cap: int = TRI_CAP,
                  max_bh: int = MAX_BH, huge_cap: int = 16,
                  background: float = 0.0, cell_mask=None,
-                 decode: bool = True, wireframe: bool = False):
+                 decode: bool = True, wireframe: bool = False,
+                 clip_cap: int = 4096, clip_run_cap: int = 64):
     """Rasterize a batch of tessellated patches with exact triangle coverage.
 
     Args:
@@ -735,8 +757,28 @@ def raster_frame(clip, normal, valid, width: int, height: int, *,
     hg_idx, n_huge = _compact_indices(need_huge, huge_cap)
     th = _unpack_tris(_gather_packed(tm, hg_idx))
     overflowed = overflowed | (n_huge > huge_cap)
+
+    # near-plane straddlers (some vertex at w <= _W_MIN, some visible):
+    # Sutherland-Hodgman clipped into 1-2 triangles each (GL parity,
+    # raster/nearclip.py) and rasterized by the same full-screen pass.
+    # Two-stage: ~1-2k mostly off-screen straddlers exist in any whole-
+    # planet leaf set; only the on-screen clipped triangles (live after
+    # projection) earn full-screen slots.
+    from planet_tpu.raster import nearclip
+    smask = nearclip.straddle_mask_t(clip, valid, cell_mask)
+    s_idx, n_straddle = _compact_indices(smask, clip_cap)
+    tclip = nearclip.clipped_tris(clip, normal, s_idx, width, height)
+    lidx, n_live_clip = _compact_indices(tclip.live, clip_run_cap)
+    keep = lidx < tclip.live.shape[0]
+    sel = jnp.minimum(lidx, tclip.live.shape[0] - 1)
+    tliv = jax.tree.map(lambda a: jnp.take(a, sel, axis=0), tclip)
+    tliv = tliv._replace(live=tliv.live & keep)
+    th = jax.tree.map(lambda a, b: jnp.concatenate([a, b]), th, tliv)
+    overflowed = (overflowed | (n_straddle > clip_cap)
+                  | (n_live_clip > clip_run_cap))
+
     buf = jax.lax.cond(
-        n_huge > 0,
+        (n_huge > 0) | (n_live_clip > 0),
         lambda b: _huge_pass(b, th, width, height, wireframe),
         lambda b: b, buf)
 
@@ -744,7 +786,7 @@ def raster_frame(clip, normal, valid, width: int, height: int, *,
     counters = RasterCounters(
         n_tris=jnp.sum(t.live.astype(_I32)),
         n_per_class=jnp.stack(n_per_class + [n_huge]),
-        n_huge=n_huge, overflowed=overflowed)
+        n_huge=n_huge, overflowed=overflowed, n_straddle=n_straddle)
     if not decode:
         return img_packed, counters
     image, depth = decode_packed(img_packed, background)

@@ -39,7 +39,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from planet_tpu.raster import coverage as cov
+from planet_tpu.raster import coverage as cov, nearclip
 from planet_tpu.raster.splat import _DEPTH_BITS, _EMPTY, _SHADE_BITS
 
 _F32 = jnp.float32
@@ -441,25 +441,36 @@ def _run_class(records, fb, *, winh, cap, width_pad, height_pad,
 
 def raster_frame_auto(clip, normal, valid, width: int, height: int, *,
                       cell_mask=None, background: float = 0.0,
-                      decode: bool = True, wireframe: bool = False):
+                      decode: bool = True, wireframe: bool = False,
+                      **kw):
     """Backend dispatch for the exact-coverage raster: the Pallas fragment
-    engine on TPU, the XLA row-job path elsewhere (CPU tests/dryruns)."""
+    engine on TPU, the XLA row-job path elsewhere (CPU tests/dryruns).
+
+    kw: capacity overrides (quad_cap, caps, huge_cap, clip_cap,
+    clip_run_cap) forwarded to the Pallas engine — the engine passes these
+    through build_device_render(raster_cfg=...) to size the record ladder
+    to the workload (the defaults fit the quality=1 1080p LOD scene; a
+    reference-shape ~1k-leaf scene needs ~2.5x). The XLA fallback only
+    understands the subset it shares."""
     if jax.default_backend() == "tpu":
         return raster_frame_pallas(clip, normal, valid, width, height,
                                    cell_mask=cell_mask,
                                    background=background, decode=decode,
-                                   wireframe=wireframe)
+                                   wireframe=wireframe, **kw)
+    xla_kw = {k: v for k, v in kw.items()
+              if k in ("huge_cap", "clip_cap", "clip_run_cap")}
     return cov.raster_frame(clip, normal, valid, width, height,
                             cell_mask=cell_mask, background=background,
-                            decode=decode, wireframe=wireframe)
+                            decode=decode, wireframe=wireframe, **xla_kw)
 
 
 def raster_frame_pallas(clip, normal, valid, width: int, height: int, *,
                         caps=DEFAULT_CAPS,
-                        huge_cap: int = 16, background: float = 0.0,
+                        huge_cap: int = 64, background: float = 0.0,
                         cell_mask=None, interpret: bool = False,
                         decode: bool = True, wireframe: bool = False,
-                        quad_cap: int = 128):
+                        quad_cap: int = 128, clip_cap: int = 4096,
+                        clip_run_cap: int = 64):
     """Drop-in twin of coverage.raster_frame running the fragment path as
     Pallas window kernels. Returns (image, depth, RasterCounters), or
     (packed, counters) when decode=False.
@@ -510,7 +521,13 @@ def raster_frame_pallas(clip, normal, valid, width: int, height: int, *,
     n = live.shape[0]
     stride = jnp.int32(n + 1)
     pos = jnp.arange(n, dtype=_I32)
-    class_id = jnp.full((n,), len(SPAN_CLASSES) + 1, _I32)  # dead last
+    # class ids: 0..len(SPAN_CLASSES)-1 span ladder, then huge, then
+    # near-plane straddlers (disjoint from live — they fail tri_ok), dead
+    cid_straddle = len(SPAN_CLASSES) + 1
+    cid_dead = len(SPAN_CLASSES) + 2
+    class_id = jnp.full((n,), cid_dead, _I32)
+    straddle = nearclip.straddle_mask_t(clip, valid, cell_mask)
+    class_id = jnp.where(straddle, jnp.int32(cid_straddle), class_id)
     need_huge = live & ~eligible
     class_id = jnp.where(need_huge, len(SPAN_CLASSES), class_id)
     for c in reversed(range(len(SPAN_CLASSES))):
@@ -519,12 +536,12 @@ def raster_frame_pallas(clip, normal, valid, width: int, height: int, *,
     sorted_keys = jax.lax.sort(class_id * stride + pos)
     # pad with dead keys so fixed-size class slices exist even when the
     # scene has fewer triangles than a class cap
-    pad_len = max(max(caps), huge_cap)
+    pad_len = max(max(caps), huge_cap, clip_cap)
     sorted_keys = jnp.pad(sorted_keys, (0, pad_len),
-                          constant_values=(len(SPAN_CLASSES) + 1) * (n + 1))
+                          constant_values=cid_dead * (n + 1))
 
     counts = [jnp.sum((class_id == c).astype(_I32))
-              for c in range(len(SPAN_CLASSES) + 1)]
+              for c in range(len(SPAN_CLASSES) + 2)]
 
     def _segment(c, off, cap):
         seg = jax.lax.dynamic_slice(sorted_keys, (off,), (cap,))
@@ -550,6 +567,7 @@ def raster_frame_pallas(clip, normal, valid, width: int, height: int, *,
     # fori_loops over the bbox's 32x128 tiles — see _huge_class_kernel).
     # The tiny huge class pays the XLA relayout (.T of (32, huge_cap)).
     hg_idx = _segment(len(SPAN_CLASSES), off, huge_cap)
+    off = off + counts[len(SPAN_CLASSES)]
     n_huge = counts[len(SPAN_CLASSES)]
     recs_h = cov._gather_packed_t(tm, hg_idx).T
     overflowed = overflowed | (n_huge > huge_cap)
@@ -560,12 +578,39 @@ def raster_frame_pallas(clip, normal, valid, width: int, height: int, *,
                             wireframe=wireframe),
         lambda b: b, fb)
 
+    # near-plane straddlers: Sutherland-Hodgman clipped into 1-2 triangles
+    # each (GL parity, raster/nearclip.py), rasterized by the same
+    # bbox-bounded huge kernel. Two-stage: a whole-planet leaf set keeps
+    # ~1-2k straddlers every frame (coarse background quads crossing the
+    # camera plane — measured 1216 at the 20 km oracle camera), but almost
+    # all clip to off-screen triangles (live=False after projection), so
+    # only the few on-screen ones are compacted into kernel records.
+    s_idx = _segment(cid_straddle, off, clip_cap)
+    n_straddle = counts[cid_straddle]
+    overflowed = overflowed | (n_straddle > clip_cap)
+    tclip = nearclip.clipped_tris(clip, normal, s_idx, width, height)
+    lidx, n_live_clip = cov._compact_indices(tclip.live, clip_run_cap)
+    keep = lidx < tclip.live.shape[0]
+    sel = jnp.minimum(lidx, tclip.live.shape[0] - 1)
+    tliv = jax.tree.map(lambda a: jnp.take(a, sel, axis=0), tclip)
+    tliv = tliv._replace(live=tliv.live & keep)
+    overflowed = overflowed | (n_live_clip > clip_run_cap)
+
+    def _run_clipped(b):
+        recs_c = nearclip.records_from_tris(tliv)
+        return _run_huge(recs_c, b, cap=clip_run_cap, width_pad=width_pad,
+                         height_pad=height_pad, interpret=interpret,
+                         wireframe=wireframe)
+
+    fb = jax.lax.cond(n_live_clip > 0, _run_clipped, lambda b: b, fb)
+
     img_packed = fb[:height, :width]
     counters = cov.RasterCounters(
         n_tris=(jnp.sum(live.astype(_I32)) if n_tris_full is None
                 else n_tris_full),
         n_per_class=jnp.stack(n_per_class + [n_huge]),
-        n_huge=n_huge, overflowed=overflowed | overflow_quads)
+        n_huge=n_huge, overflowed=overflowed | overflow_quads,
+        n_straddle=n_straddle)
     if not decode:
         return img_packed, counters
     image, depth = cov.decode_packed(img_packed, background)
