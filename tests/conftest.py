@@ -9,11 +9,23 @@ production code in planet_tpu is dtype-explicit and works with or without x64.
 
 import os
 
+import pytest
+
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite: everything not marked `slow` is auto-marked `fast`,
+    so `pytest -m fast` runs the smoke tier (parity + unit + one sharded
+    equivalence; minutes on a cold compile cache) and `pytest -m slow` the
+    integration tier (big fused-program compiles; see docs/CI.md)."""
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.fast)
 
 # The axon TPU plugin prepends itself to jax_platforms regardless of the
 # JAX_PLATFORMS env var, so force CPU via config (must happen before any

@@ -13,6 +13,9 @@ from planet_tpu.engine.config import EngineConfig
 from planet_tpu.engine.planet import PlanetEngine
 from planet_tpu.geom import camera as cam_mod, quadid
 from planet_tpu.nums import df as dfm
+import pytest
+
+pytestmark = pytest.mark.slow   # integration tier: big fused-program compiles
 
 W, H = 128, 96
 CFG = EngineConfig(window_w=W, window_h=H, amplitude=0.0, use_pallas=False,

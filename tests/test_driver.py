@@ -12,6 +12,8 @@ from planet_tpu.engine.planet import PlanetEngine
 from planet_tpu.io import checkpoint, driver
 from planet_tpu.geom import camera as cam_mod
 
+pytestmark = pytest.mark.slow   # integration tier: big fused-program compiles
+
 W, H = 64, 48
 
 

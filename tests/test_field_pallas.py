@@ -12,6 +12,8 @@ import pytest
 from planet_tpu.models import heightfield
 from planet_tpu.ops.kernels import field_pallas
 
+pytestmark = pytest.mark.slow   # integration tier: big fused-program compiles
+
 N = 128
 RADIUS = 6.371e6
 

@@ -16,6 +16,8 @@ import pytest
 
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow   # integration tier: big fused-program compiles
+
 GOLD = pathlib.Path(__file__).parent / "goldens"
 
 

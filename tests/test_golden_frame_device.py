@@ -23,6 +23,9 @@ from planet_tpu.engine.config import EngineConfig
 from planet_tpu.geom import camera as cam_mod
 from planet_tpu.nums import df as dfm
 from tests.test_golden_frame import _ssim
+import pytest
+
+pytestmark = pytest.mark.slow   # integration tier: big fused-program compiles
 
 GOLD = pathlib.Path(__file__).parent / "goldens"
 

@@ -36,6 +36,8 @@ from planet_tpu.engine.config import EngineConfig
 from planet_tpu.geom import quadid
 from planet_tpu.lod import refine as lod_refine
 
+pytestmark = pytest.mark.slow   # integration tier: big fused-program compiles
+
 CFG = EngineConfig()
 DIM = 8            # tiny tiles: the audit is about keys/ticks, not texels
 

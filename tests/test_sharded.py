@@ -9,6 +9,8 @@ import pytest
 from planet_tpu.nums import df as dfm
 from planet_tpu.parallel import facemesh, sharded
 
+pytestmark = pytest.mark.slow   # integration tier: big fused-program compiles
+
 
 def _points(H=32, W=32, radius=6371000.0):
     pts = np.stack([facemesh.face_grid_points(f, H, radius) for f in range(6)])

@@ -14,6 +14,9 @@ from planet_tpu.geom import camera as cam_mod, quadid
 from planet_tpu.nums import df as dfm
 from planet_tpu.parallel import sharded, sharded_lod
 from planet_tpu.raster import coverage
+import pytest
+
+pytestmark = pytest.mark.slow   # integration tier: big fused-program compiles
 
 W, H = 160, 120
 MAX_LOD = 4
@@ -177,3 +180,41 @@ def test_sharded_lod_second_frame_cache_hits():
     assert n_gen1 > 0
     assert int(f2.n_generated) == 0
     np.testing.assert_array_equal(np.asarray(f2.image), img1)
+
+
+def test_sharded_lod_2d_slice_mesh_matches_1d():
+    """Multi-slice streaming LOD (docs/multislice.md, "Streaming-LOD
+    path"): subtrees sharded over the flattened ("slice", "quads") product
+    with the pmin composite crossing both axes composite BITWISE the same
+    frame as the 1-axis 8-device mesh — the only cross-slice traffic is
+    the once-per-frame packed-framebuffer reduction."""
+    roots = sharded_lod.subtree_roots(CFG.radius)
+    ch, cl, vp = _camera_args()
+
+    frames = []
+    for shape in ((2, 4), (4, 2)):
+        mesh = sharded.make_mesh_2d(shape[0], shape[1], axis="quads")
+        fn = sharded_lod.build_sharded_render(
+            CFG, mesh, W, H, axis=("slice", "quads"), cap=512,
+            render_cap=64, gen_cap=64, max_lod=MAX_LOD, probe="zero",
+            interpret=True)
+        pools = sharded_lod.init_pools(8, CFG.cache_capacity, CFG.tile_dim)
+        pools, frame, (llo, lhi, lcnt, gcnt) = fn(pools, ch, cl, vp, *roots)
+        assert not bool(frame.overflowed)
+        frames.append((np.asarray(frame.image), np.asarray(frame.depth),
+                       int(frame.n_leaves), int(frame.n_generated)))
+
+    mesh1 = sharded.make_mesh(8, axis="quads")
+    fn1 = sharded_lod.build_sharded_render(
+        CFG, mesh1, W, H, cap=512, render_cap=64, gen_cap=64,
+        max_lod=MAX_LOD, probe="zero", interpret=True)
+    pools1 = sharded_lod.init_pools(8, CFG.cache_capacity, CFG.tile_dim)
+    pools1, f1, _ = fn1(pools1, ch, cl, vp, *roots)
+    base = (np.asarray(f1.image), np.asarray(f1.depth),
+            int(f1.n_leaves), int(f1.n_generated))
+
+    for img, dep, nl, ng in frames:
+        np.testing.assert_array_equal(img, base[0])
+        np.testing.assert_array_equal(np.isfinite(dep),
+                                      np.isfinite(base[1]))
+        assert (nl, ng) == (base[2], base[3])
