@@ -93,7 +93,7 @@ def init_pools(n_shards: int, capacity: int, dim: int) -> dp.PoolState:
 
 
 def build_sharded_render(cfg: EngineConfig, mesh: Mesh, width: int,
-                         height: int, *, axis: str = "quads",
+                         height: int, *, axis="quads",
                          cap: int = 4096, render_cap: int = 512,
                          gen_cap: int = 256, max_lod: int = None,
                          probe: str = "ridged6", interpret: bool = None):
@@ -106,8 +106,19 @@ def build_sharded_render(cfg: EngineConfig, mesh: Mesh, width: int,
     plus the per-chip tile-generation counts) for seam/equivalence and
     budget auditing; DeviceFrame holds the composited image and psum'd
     stats. Caps (cap/render_cap/gen_cap/budget) are PER CHIP.
+
+    axis: one mesh axis name, or a TUPLE of names for multi-slice (DCN)
+    meshes — subtrees shard over the FLATTENED axis product (refine/cache/
+    generate/raster touch no collective, so the fabric is irrelevant) and
+    the packed-framebuffer pmin composite reduces the inner (ICI) axis
+    first, then crosses DCN once per frame (docs/multislice.md,
+    "Streaming-LOD path"). Results are bitwise the 1-axis (and single-
+    device) frame: pmin/psum are associative-commutative and every other
+    stage is per-subtree.
     """
-    n = mesh.shape[axis]
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
+    n = int(np.prod([mesh.shape[a] for a in axes]))
+    axis = axes if len(axes) > 1 else axes[0]
     if N_SUBTREES % n != 0:
         raise ValueError(f"{n} devices do not divide {N_SUBTREES} subtrees")
 
