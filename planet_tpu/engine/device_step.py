@@ -68,7 +68,8 @@ def build_device_render(cfg: EngineConfig, width: int, height: int, *,
                         probe: str = "ridged6", interpret: bool = None,
                         stop_after: str = "full",
                         dynamic_roots: bool = False,
-                        raster_out: str = "decoded", jit: bool = True):
+                        raster_out: str = "decoded", jit: bool = True,
+                        raster_cfg: dict = None):
     """Returns jitted fn(pool, cam_hi (3,), cam_lo (3,), view_proj (4, 4))
     -> (pool', DeviceFrame).
 
@@ -171,16 +172,26 @@ def build_device_render(cfg: EngineConfig, width: int, height: int, *,
                                      cfg.generations_per_frame)
         # slots this frame's probe resolved (hits + crop parents) must not
         # be evicted by the batched allocator — under capacity pressure it
-        # would clobber a tile a later gather reads (see dp.allocate)
+        # would clobber a tile a later gather reads (see dp.allocate).
+        # Parents of PLANNED generations are protected too: if the
+        # allocation spills (gen_cap/pool pressure) those quads fall back
+        # to the parent crop below, so the parent tile must survive.
         pcap = pool.keys_lo.shape[0]
         protect = jnp.zeros((pcap + 1,), bool)
         protect = protect.at[jnp.where(found, slot, pcap)].set(True)
-        protect = protect.at[jnp.where(use_crop & p_found, p_slot,
-                                       pcap)].set(True)
+        protect = protect.at[jnp.where((use_crop | generate) & p_found,
+                                       p_slot, pcap)].set(True)
         pool, tgt, n_over = dp.allocate(pool, generate, q_lo, q_hi,
                                         max_gen=gen_cap,
                                         protect=protect[:pcap])
         gen_ok = generate & (tgt >= 0)
+        # generation spill (demand beyond gen_cap, or no evictable slot):
+        # fall back to the parent crop exactly like the reference's
+        # exhausted-budget path (main.cpp:208-237). Only a spilled quad
+        # with NO cached parent is a real failure worth the overflow flag.
+        gen_fail = generate & active & (tgt < 0)
+        use_crop = use_crop | (gen_fail & p_found)
+        n_over = jnp.sum((gen_fail & ~p_found).astype(_I32))
 
         if stop_after == "cache":
             return early(pool)
@@ -279,7 +290,8 @@ def build_device_render(cfg: EngineConfig, width: int, height: int, *,
         if raster_out == "packed":
             packed, rc = coverage_pallas.raster_frame_auto(
                 pv.clip, pv.normal, valid, width, height,
-                cell_mask=mesh.cell_triangle_mask(), decode=False)
+                cell_mask=mesh.cell_triangle_mask(), decode=False,
+                **(raster_cfg or {}))
             pool = dp.end_frame(pool)
             overflowed = (ref.overflowed | overflow_render | (n_over > 0)
                           | rc.overflowed)
@@ -288,7 +300,7 @@ def build_device_render(cfg: EngineConfig, width: int, height: int, *,
         if cfg.raster_mode == "exact":
             image, depthbuf, rc = coverage_pallas.raster_frame_auto(
                 pv.clip, pv.normal, valid, width, height,
-                cell_mask=mesh.cell_triangle_mask())
+                cell_mask=mesh.cell_triangle_mask(), **(raster_cfg or {}))
             overflow_render = overflow_render | rc.overflowed
         else:
             facing = jnp.sum(pv.world * pv.snormal, axis=-1) < 0.0
@@ -320,6 +332,7 @@ class DeviceRenderer:
     def __init__(self, cfg: EngineConfig, width: int, height: int, *,
                  fetch: str = "f32", **kw):
         from planet_tpu.engine.planet import _raster_fn
+        from planet_tpu.raster import coverage_pallas
         if fetch not in ("f32", "u8"):
             raise ValueError(fetch)
         self.cfg = cfg
@@ -327,24 +340,42 @@ class DeviceRenderer:
         self.fetch = fetch
         self._geom = build_device_render(cfg, self.width, self.height,
                                          stop_after="geometry", **kw)
-        raster = _raster_fn(self.width, self.height,
-                            cfg.raster_supersample, False, cfg.raster_mode)
+        rcfg = kw.get("raster_cfg")
+        if cfg.raster_mode == "exact":
+            # the raster's own counters (class-cap/straddle overflow) must
+            # surface in the frame — the shared _raster_fn drops them
+            cmask = mesh.cell_triangle_mask()
+
+            def raster(clip, vshade, normal, valid, world, snormal):
+                image, depthbuf, rc = coverage_pallas.raster_frame_auto(
+                    clip, normal, valid, self.width, self.height,
+                    cell_mask=cmask, **(rcfg or {}))
+                return image, depthbuf, rc.overflowed
+        else:
+            splat_fn = _raster_fn(self.width, self.height,
+                                  cfg.raster_supersample, False,
+                                  cfg.raster_mode)
+
+            def raster(clip, vshade, normal, valid, world, snormal):
+                image, depthbuf = splat_fn(clip, vshade, normal, valid,
+                                           world, snormal)
+                return image, depthbuf, jnp.bool_(False)
         if fetch == "u8":
             # Quantize the shade image to u8 ON DEVICE, exactly as
             # io/png.write_png does host-side, so the per-frame fetch is
             # 4x smaller (1080p: 8.3 MB f32 -> 2.07 MB) and the PNG bytes
             # are bit-identical. The depth buffer stays f32 but is lazy —
             # only fetched if the caller touches frame.depth.
-            def raster_u8(clip, vshade, normal, valid, world, snormal):
-                image, depthbuf = raster(clip, vshade, normal, valid,
-                                         world, snormal)
+            base_raster = raster
+
+            def raster(clip, vshade, normal, valid, world, snormal):
+                image, depthbuf, ovf = base_raster(clip, vshade, normal,
+                                                   valid, world, snormal)
                 u8 = (jnp.clip(image, 0.0, 1.0) * np.float32(255.0)
                       + np.float32(0.5)).astype(jnp.uint8)
-                return u8, depthbuf
+                return u8, depthbuf, ovf
 
-            self._raster = jax.jit(raster_u8)
-        else:
-            self._raster = raster
+        self._raster = jax.jit(raster)
 
     def init_pool(self) -> dp.PoolState:
         return dp.init(self.cfg.cache_capacity, self.cfg.tile_dim)
@@ -352,11 +383,12 @@ class DeviceRenderer:
     def render(self, pool, cam_hi, cam_lo, view_proj):
         pool, (pv, vshade, valid, meta) = self._geom(pool, cam_hi, cam_lo,
                                                      view_proj)
-        image, depthbuf = self._raster(pv.clip, vshade, pv.normal, valid,
-                                       pv.world, pv.snormal)
+        image, depthbuf, r_ovf = self._raster(pv.clip, vshade, pv.normal,
+                                              valid, pv.world, pv.snormal)
         n, n_gen, overflowed = meta
         return pool, DeviceFrame(image=image, depth=depthbuf, n_leaves=n,
-                                 n_generated=n_gen, overflowed=overflowed)
+                                 n_generated=n_gen,
+                                 overflowed=overflowed | r_ovf)
 
 
 class PipelinedRenderer:

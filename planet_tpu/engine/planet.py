@@ -115,7 +115,10 @@ def _tess_shade_fn():
 
 @functools.lru_cache(maxsize=None)
 def _raster_fn(width: int, height: int, supersample: int, wireframe: bool,
-               mode: str = "splat"):
+               mode: str = "splat", raster_cfg: tuple = None):
+    # raster_cfg: hashable ((key, value), ...) capacity overrides for the
+    # exact raster (lru_cache requires hashable args)
+    raster_cfg = dict(raster_cfg) if raster_cfg else None
     """fn(clip, vshade, normal, valid, world, snormal) -> (image, depth).
 
     mode="exact": exact triangle coverage (raster/coverage.py; screen-space
@@ -131,7 +134,7 @@ def _raster_fn(width: int, height: int, supersample: int, wireframe: bool,
         def fn(clip, vshade, normal, valid, world, snormal):
             image, depthbuf, _ = coverage_pallas.raster_frame_auto(
                 clip, normal, valid, width, height, cell_mask=cmask,
-                wireframe=wireframe)
+                wireframe=wireframe, **(raster_cfg or {}))
             return image, depthbuf
 
         return jax.jit(fn)

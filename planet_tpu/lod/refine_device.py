@@ -153,7 +153,7 @@ def _subdivide_t(ch, cl, radius):
 def refine_device(cam_hi, cam_lo, root_lo, root_hi, root_ch, root_cl,
                   *, max_lod: int, cap: int, radius: float,
                   probe_fn_name: str = "zero", root_depth=None,
-                  tight=(128, 512), transposed: bool = False,
+                  tight=(128, 512, 2048), transposed: bool = False,
                   quality: float = 1.0):
     """Full-device refinement. Roots: (R,) id words + (R, 4, 3) DF corners
     — the 6 cube faces by default, or any frontier of same-tree quads (the

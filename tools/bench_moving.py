@@ -6,7 +6,10 @@ camera moves (main.cpp:653). This tool drives a descending strafing orbit,
 reports per-frame leaves/generated/overflow, and slope-times the sustained
 moving frame.
 
-Usage: python tools/bench_moving.py [quality] [render_cap] [omega_mrad] [n_frames] [cap]
+Usage: python tools/bench_moving.py [quality] [render_cap] [omega_mrad]
+           [n_frames] [cap] [mode]
+mode: "two" (DeviceRenderer, geometry+raster jits) | "one" (single fused
+jit, stop_after="full").
 """
 import sys, pathlib, time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
@@ -18,7 +21,8 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 import jax.numpy as jnp
 
 from planet_tpu.engine.config import EngineConfig
-from planet_tpu.engine.device_step import DeviceRenderer
+from planet_tpu.engine.device_step import DeviceRenderer, build_device_render
+from planet_tpu.cache import device_pool as dp
 from planet_tpu.geom import camera as cam_mod
 from planet_tpu.nums import df as dfm
 
@@ -27,8 +31,19 @@ render_cap = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
 omega = float(sys.argv[3]) if len(sys.argv) > 3 else 1.0   # mrad/frame
 n_frames = int(sys.argv[4]) if len(sys.argv) > 4 else 48
 cap = int(sys.argv[5]) if len(sys.argv) > 5 else 8192
+mode = sys.argv[6] if len(sys.argv) > 6 else "two"
 
-cfg = EngineConfig(lod_quality=quality) if quality != 1.0 else EngineConfig()
+# capacities sized to the workload: the reference-shape scene (~1k leaves)
+# needs a deeper pool (its working set exceeds the reference's 1024-slot
+# cache), a wider quad compaction, and ~2.5x the class caps
+if quality > 2.0:
+    cfg = EngineConfig(lod_quality=quality, cache_capacity=4096)
+    RASTER_CFG = dict(quad_cap=384,
+                      caps=(49152, 76800, 26624, 7424, 3200, 256))
+else:
+    cfg = EngineConfig(lod_quality=quality) if quality != 1.0 \
+        else EngineConfig()
+    RASTER_CFG = None
 W, H = 1920, 1080
 
 
@@ -48,9 +63,24 @@ def camera_at(cfg, theta, alt, W, H):
     return jnp.asarray(ch), jnp.asarray(cl), jnp.asarray(vp)
 
 
+class OneJitRenderer:
+    """Single fused program per frame (stop_after='full')."""
+
+    def __init__(self, cfg, W, H, **kw):
+        self.cfg = cfg
+        self._step = build_device_render(cfg, W, H, stop_after="full", **kw)
+
+    def init_pool(self):
+        return dp.init(self.cfg.cache_capacity, self.cfg.tile_dim)
+
+    def render(self, pool, ch, cl, vp):
+        return self._step(pool, ch, cl, vp)
+
+
 def main():
-    r = DeviceRenderer(cfg, W, H, cap=cap, gen_cap=256,
-                       render_cap=render_cap)
+    cls = OneJitRenderer if mode == "one" else DeviceRenderer
+    r = cls(cfg, W, H, cap=cap, gen_cap=256,
+            render_cap=render_cap, raster_cfg=RASTER_CFG)
     pool = r.init_pool()
 
     # trajectory: orbit at omega mrad/frame, descending 20 km -> 3 km

@@ -17,10 +17,15 @@ from planet_tpu.tess import mesh
 from tools.bench_moving import camera_at
 
 quality = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
-cfg = EngineConfig(lod_quality=quality) if quality != 1.0 else EngineConfig()
+render_cap = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+quad_cap = int(sys.argv[3]) if len(sys.argv) > 3 else 128
+if quality > 2.0:
+    cfg = EngineConfig(lod_quality=quality, cache_capacity=4096)
+else:
+    cfg = EngineConfig(lod_quality=quality) if quality != 1.0 else EngineConfig()
 W, H = 1920, 1080
 geom = build_device_render(cfg, W, H, cap=8192, gen_cap=256,
-                           render_cap=1024, stop_after="geometry")
+                           render_cap=render_cap, stop_after="geometry")
 pool = dp.init(cfg.cache_capacity, cfg.tile_dim)
 
 n_frames = 20
@@ -39,7 +44,7 @@ qlive, n_tris_full = cov._quad_live_t(clip, valid_m, W, H, cm)
 print("render_cap quads:", clip.shape[0], " live quads:",
       int(jnp.sum(qlive)), " live tris:", int(n_tris_full))
 
-qidx, nq = cov._compact_indices(qlive, 128)
+qidx, nq = cov._compact_indices(qlive, quad_cap)
 sel = jnp.minimum(qidx, clip.shape[0] - 1)
 keep = qidx < clip.shape[0]
 clip_c = jnp.take(clip, sel, axis=0)

@@ -11,16 +11,15 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
-from planet_tpu.engine.config import EngineConfig
 from planet_tpu.engine.device_step import DeviceRenderer
-from tools.bench_moving import camera_at
+from tools.bench_moving import camera_at, cfg, RASTER_CFG
 
 quality = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
 render_cap = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
 
-cfg = EngineConfig(lod_quality=quality) if quality != 1.0 else EngineConfig()
 W, H = 1920, 1080
-r = DeviceRenderer(cfg, W, H, cap=8192, gen_cap=256, render_cap=render_cap)
+r = DeviceRenderer(cfg, W, H, cap=8192, gen_cap=256, render_cap=render_cap,
+                   raster_cfg=RASTER_CFG)
 pool = r.init_pool()
 
 n_frames = 40
