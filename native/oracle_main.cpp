@@ -1106,6 +1106,19 @@ int main(int argc, char **argv) {
                     + cv[0].c[3] * (cv[1].c[0] * cv[2].c[1]
                                     - cv[2].c[0] * cv[1].c[1]);
                 if (!(det3 > 0.0f)) continue;
+                // lateral-frustum outcode: all three vertices outside the
+                // same linear clip plane (w±x, w±y >= 0) -> invisible
+                bool all_out = false;
+                for (int pl = 0; pl < 4 && !all_out; pl++) {
+                    bool out = true;
+                    for (int k = 0; k < 3 && out; k++) {
+                        float xw = (pl < 2) ? cv[k].c[0] : cv[k].c[1];
+                        float s = (pl & 1) ? 1.0f : -1.0f;
+                        out = (cv[k].c[3] + s * xw) < 0.0f;
+                    }
+                    all_out = out;
+                }
+                if (all_out) continue;
                 straddle_count++;
                 if (cnt == 3) continue;      // unreachable with w'=z_view
                 CVert outA[3], outB[3];

@@ -586,8 +586,8 @@ def _quad_live_t(clip, valid, width: int, height: int, cell_mask=None):
     live = tri_ok & front & nonempty                       # (2, Q, G*G)
     # near-plane straddlers are NOT live (tri_ok fails on w <= _W_MIN) but
     # must survive quad compaction — the clip pass (raster/nearclip.py)
-    # draws their visible parts. Same per-vertex rules as straddle_mask_t,
-    # including the homogeneous det3 front-face pre-filter.
+    # draws their visible parts. Same per-vertex rules as straddle_mask_t:
+    # det3 front-face + lateral-frustum-outcode pre-filters.
     f4 = clip[..., 2] + w4
     v0, v1, v2 = tri3(valid)
     wl0, wl1, wl2 = tri3(w4 <= _W_MIN)
@@ -598,8 +598,12 @@ def _quad_live_t(clip, valid, width: int, height: int, cell_mask=None):
     det3 = (cx0 * (cy1 * cw2 - cy2 * cw1)
             - cy0 * (cx1 * cw2 - cx2 * cw1)
             + cw0 * (cx1 * cy2 - cx2 * cy1))
+    all_out = (((cw0 - cx0 < 0.0) & (cw1 - cx1 < 0.0) & (cw2 - cx2 < 0.0))
+               | ((cw0 + cx0 < 0.0) & (cw1 + cx1 < 0.0) & (cw2 + cx2 < 0.0))
+               | ((cw0 - cy0 < 0.0) & (cw1 - cy1 < 0.0) & (cw2 - cy2 < 0.0))
+               | ((cw0 + cy0 < 0.0) & (cw1 + cy1 < 0.0) & (cw2 + cy2 < 0.0)))
     straddle = ((v0 & v1 & v2) & (wl0 | wl1 | wl2) & (f0 | f1 | f2)
-                & (det3 > 0.0) & cell_keep)
+                & (det3 > 0.0) & ~all_out & cell_keep)
     keep = (live | straddle).any(axis=(0, 2))
     return keep, jnp.sum(live.astype(_I32))
 
@@ -698,7 +702,7 @@ def raster_frame(clip, normal, valid, width: int, height: int, *,
                  max_bh: int = MAX_BH, huge_cap: int = 16,
                  background: float = 0.0, cell_mask=None,
                  decode: bool = True, wireframe: bool = False,
-                 clip_cap: int = 4096, clip_run_cap: int = 64):
+                 clip_cap: int = 512, clip_run_cap: int = 64):
     """Rasterize a batch of tessellated patches with exact triangle coverage.
 
     Args:
@@ -761,26 +765,30 @@ def raster_frame(clip, normal, valid, width: int, height: int, *,
     # near-plane straddlers (some vertex at w <= _W_MIN, some visible):
     # Sutherland-Hodgman clipped into 1-2 triangles each (GL parity,
     # raster/nearclip.py) and rasterized by the same full-screen pass.
-    # Two-stage: ~1-2k mostly off-screen straddlers exist in any whole-
-    # planet leaf set; only the on-screen clipped triangles (live after
-    # projection) earn full-screen slots.
+    # The mask's det3 + frustum-outcode filters keep only straddlers whose
+    # clipped parts can reach the screen, so the clip machinery (and its
+    # full-screen slots) sits behind the cond with the huge pass.
     from planet_tpu.raster import nearclip
     smask = nearclip.straddle_mask_t(clip, valid, cell_mask)
-    s_idx, n_straddle = _compact_indices(smask, clip_cap)
-    tclip = nearclip.clipped_tris(clip, normal, s_idx, width, height)
-    lidx, n_live_clip = _compact_indices(tclip.live, clip_run_cap)
-    keep = lidx < tclip.live.shape[0]
-    sel = jnp.minimum(lidx, tclip.live.shape[0] - 1)
-    tliv = jax.tree.map(lambda a: jnp.take(a, sel, axis=0), tclip)
-    tliv = tliv._replace(live=tliv.live & keep)
-    th = jax.tree.map(lambda a, b: jnp.concatenate([a, b]), th, tliv)
-    overflowed = (overflowed | (n_straddle > clip_cap)
-                  | (n_live_clip > clip_run_cap))
+    n_straddle = jnp.sum(smask.astype(_I32))
+    overflowed = overflowed | (n_straddle > clip_cap)
 
-    buf = jax.lax.cond(
-        (n_huge > 0) | (n_live_clip > 0),
-        lambda b: _huge_pass(b, th, width, height, wireframe),
-        lambda b: b, buf)
+    def _huge_and_clipped(b):
+        s_idx, _ = _compact_indices(smask, clip_cap)
+        tclip = nearclip.clipped_tris(clip, normal, s_idx, width, height)
+        lidx, n_live_clip = _compact_indices(tclip.live, clip_run_cap)
+        keep = lidx < tclip.live.shape[0]
+        sel = jnp.minimum(lidx, tclip.live.shape[0] - 1)
+        tliv = jax.tree.map(lambda a: jnp.take(a, sel, axis=0), tclip)
+        tliv = tliv._replace(live=tliv.live & keep)
+        th2 = jax.tree.map(lambda a, c: jnp.concatenate([a, c]), th, tliv)
+        return (_huge_pass(b, th2, width, height, wireframe),
+                n_live_clip.astype(_I32))
+
+    buf, n_live_clip = jax.lax.cond(
+        (n_huge > 0) | (n_straddle > 0), _huge_and_clipped,
+        lambda b: (b, jnp.int32(0)), buf)
+    overflowed = overflowed | (n_live_clip > clip_run_cap)
 
     img_packed = buf.reshape(height, width)
     counters = RasterCounters(

@@ -23,10 +23,11 @@ dense vector min updates — no scatters anywhere:
 
 Coverage decisions reuse coverage._setup's snapped screen coordinates and
 evaluate the identical f32 edge functions (Mosaic does not contract FMA,
-matching the scalar spec). Triangles spanning more than 16 aligned row
-blocks or wider than 128 px take the bbox-bounded huge-triangle kernel;
-triangles beyond a class cap set the overflow counter, never vanish
-silently.
+matching the scalar spec). Bbox width is unbounded (the class kernel
+fori-loops over the bbox's aligned 128-lane column blocks, so cost tracks
+true width); triangles spanning more than 16 aligned row blocks take the
+bbox-bounded huge-triangle kernel. Triangles beyond a class cap set the
+overflow counter, never vanish silently.
 """
 
 from __future__ import annotations
@@ -46,15 +47,18 @@ _F32 = jnp.float32
 _I32 = jnp.int32
 
 WIN_W = 128                      # one lane-aligned framebuffer block
-MAX_BW = 128                     # widest bbox the ladder accepts
+MAX_BW = 128   # kept for measurement tools; the ladder itself is width-unbounded
 SPAN_CLASSES = (1, 2, 3, 4, 8, 16)   # aligned 8-row block-span ladder
-# per-class triangle caps: ~1.35x the measured 1080p LOD demand
-# (15067/22611/7696/2098/888/14 at 20 km altitude), rounded up to
-# TRI_BLOCK. Dead records (cap padding) cost one scalar flag read each;
-# overflow is counted, never silent. The 16-block class exists so
-# near-silhouette tall triangles stay off the serial huge-triangle scan.
-DEFAULT_CAPS = (20352, 30592, 10496, 2944, 1280, 128)
+# per-class triangle caps: ~1.2-1.7x the WORST measured 1080p moving-orbit
+# frame (22459/31026/11699/2986/3538/1770 at the horizon-grazing frames,
+# tools/debug_overflow.py — the static 20 km scene needs ~2/3 of this),
+# rounded to TRI_BLOCK. Dead records (cap padding) cost one scalar flag
+# read each; overflow is counted, never silent.
+DEFAULT_CAPS = (24576, 36864, 14336, 5120, 5120, 2048)
+DEFAULT_HUGE_CAP = 1536   # tall (span > 16) silhouette slivers: the worst
+                          # moving-orbit frame carries ~1150 live
 TRI_BLOCK = 16                   # triangles per grid step
+HUGE_BLOCK = 8                   # huge records per grid step
 TR_BLOCK = 128                   # record columns per transpose-kernel step
 
 
@@ -89,24 +93,22 @@ def _raster_class_kernel(winh: int, width_pad: int, wireframe: bool,
         any_live = any_live | (rec_ref[t, 28] > 0.5)
 
     # static iotas shared by every triangle in the block (integer iota +
-    # cast: Mosaic has no f32 iota); colf2 is the straddle pass's column
-    # iota (second aligned lane block)
+    # cast: Mosaic has no f32 iota)
     rowf = jax.lax.broadcasted_iota(_I32, (winh, WIN_W), 0).astype(_F32)
     colf = jax.lax.broadcasted_iota(_I32, (winh, WIN_W), 1).astype(_F32)
-    colf2 = colf + _F32(128.0)
 
     def _block():
         # static unroll: dynamic-t fori_loop variants measurably lose
         # Mosaic's cross-record static scheduling (measured +18% kernel)
         for t in range(TRI_BLOCK):
             _one_triangle(winh, wireframe, rec_ref, fb_ref, t,
-                          rowf, colf, colf2)
+                          rowf, colf)
 
     pl.when(any_live)(_block)
 
 
 def _one_triangle(winh: int, wireframe: bool, rec_ref, fb_ref, t,
-                  rowf, colf, colf2):
+                  rowf, colf):
     """Rasterize record t into its bbox's aligned (winh, 128) window(s).
 
     All per-triangle invariants arrive PRECOMPUTED in the record: edge
@@ -127,16 +129,19 @@ def _one_triangle(winh: int, wireframe: bool, rec_ref, fb_ref, t,
     divide cancels against the normal's own normalization — the two
     fragment pipelines are kept in op-for-op lockstep.
 
-    A bbox of width <= 128 spans at most two aligned lane blocks; the
-    second window pass runs only for the (~10% at 1080p) straddling
-    triangles, under a scalar predicate."""
+    The bbox may span ANY number of aligned 128-lane column blocks: the
+    first block is a static pass (most triangles are narrow), the rest run
+    in a fori_loop whose trip count comes from the record — cost tracks
+    the true bbox width, so grazing-angle wide triangles stay on the span
+    ladder instead of exploding the huge class (measured 1395 wide-huge
+    triangles on one descending-orbit frame)."""
     f = _F32
     # rows 12-13 carry BLOCK indices; the in-kernel *8 / *128 lets Mosaic
     # prove the dynamic framebuffer slice offsets are tile-aligned (a raw
     # precomputed offset crashes its vector.load lowering)
     py0c = rec_ref[t, 12].astype(_I32) * 8
     px0a = rec_ref[t, 13].astype(_I32) * 128
-    straddle = rec_ref[t, 14] > f(0.5)
+    n_extra = rec_ref[t, 14].astype(_I32)   # column blocks beyond the first
     px0r = rec_ref[t, 24]
     px1r = rec_ref[t, 25]
     py0r = rec_ref[t, 26]
@@ -207,26 +212,46 @@ def _one_triangle(winh: int, wireframe: bool, rec_ref, fb_ref, t,
             jnp.minimum(old, packed)
 
     window(colf, px0a)
-    pl.when(straddle)(lambda: window(colf2, px0a + 128))
+
+    @pl.when(n_extra > 0)
+    def _more_blocks():
+        def body(j, carry):
+            window(colf + (j * 128).astype(_F32), px0a + j * 128)
+            return carry
+
+        jax.lax.fori_loop(1, n_extra + 1, body, 0)
 
 
 def _huge_class_kernel(width_pad: int, height_pad: int, wireframe: bool,
                        rec_ref, fb_in_ref, fb_ref):
-    """One grid step: ONE huge triangle (bbox taller than the height ladder
-    or wider than 128 px) rasterized over exactly its bbox's aligned
-    (32, 128) tiles, via two scalar-bounded fori_loops. Replaces the XLA
-    full-screen scan (coverage._huge_pass), which paid the whole 1080p
-    framebuffer per slot (~4 ms/frame whenever a huge triangle was live —
-    and the standard 20 km camera has ~12, horizon-grazing silhouettes).
-    Work here is proportional to bbox area; the fragment math is the same
-    op sequence as _one_triangle (bit-parity with coverage._fragments)."""
+    """One grid step: HUGE_BLOCK huge triangles (bbox taller than the span
+    ladder) each rasterized over exactly its bbox's aligned (32, 128)
+    tiles, via two scalar-bounded fori_loops. Replaces the XLA full-screen
+    scan (coverage._huge_pass), which paid the whole 1080p framebuffer per
+    slot (~4 ms/frame whenever a huge triangle was live). Work here is
+    proportional to bbox area; the fragment math is the same op sequence
+    as _one_triangle (bit-parity with coverage._fragments). Batching
+    HUGE_BLOCK records per step with a whole-dead skip keeps the ~1.5k-cap
+    grid cheap when only a handful are live (horizon-silhouette frames of
+    the moving orbit carry ~1150, normal frames ~10)."""
 
     @pl.when(pl.program_id(0) == 0)
     def _seed():
         fb_ref[:, :] = fb_in_ref[:, :]
 
+    any_live = rec_ref[0, 28] > 0.5
+    for t in range(1, HUGE_BLOCK):
+        any_live = any_live | (rec_ref[t, 28] > 0.5)
+
+    def _block():
+        for t in range(HUGE_BLOCK):
+            _one_huge(height_pad, wireframe, rec_ref, fb_ref, t)
+
+    pl.when(any_live)(_block)
+
+
+def _one_huge(height_pad: int, wireframe: bool, rec_ref, fb_ref, t):
     f = _F32
-    t = pl.program_id(0)          # record column t of the full (32, cap)
     live = rec_ref[t, 28] > 0.5
     px0 = rec_ref[t, 24].astype(_I32)
     py0 = rec_ref[t, 25].astype(_I32)
@@ -320,14 +345,19 @@ def _huge_class_kernel(width_pad: int, height_pad: int, wireframe: bool,
     "cap", "width_pad", "height_pad", "interpret", "wireframe"))
 def _run_huge(records, fb, *, cap, width_pad, height_pad,
               interpret=False, wireframe=False):
-    """records (cap, 32) f32 huge-class records -> fb' min-merged."""
+    """records (cap, 32) f32 huge-class records -> fb' min-merged.
+    cap must be a multiple of HUGE_BLOCK (compaction places live records
+    first, so whole-dead blocks skip)."""
+    if cap % HUGE_BLOCK:
+        raise ValueError(
+            f"huge cap {cap} must be a multiple of HUGE_BLOCK={HUGE_BLOCK}")
     kernel = functools.partial(_huge_class_kernel, width_pad, height_pad,
                                wireframe)
     return pl.pallas_call(
         kernel,
-        grid=(cap,),
+        grid=(cap // HUGE_BLOCK,),
         in_specs=[
-            pl.BlockSpec((cap, 32), lambda i: (0, 0),
+            pl.BlockSpec((HUGE_BLOCK, 32), lambda i: (i, 0),
                          memory_space=REC_SPACE),
             pl.BlockSpec((height_pad, width_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -357,7 +387,8 @@ def _class_fixup(recs_t, winh: int, width_pad: int, height_pad: int):
 
       12: py0c / 8 — clamped aligned window row BLOCK (winh-dependent)
       13: px0a / 128 — aligned window column BLOCK
-      14: straddle flag (bbox crosses into the next 128-lane block)
+      14: extra column blocks beyond the first (the kernel's per-record
+          fori trip count; 0 for bboxes inside one 128-lane block)
       24: px0 - px0a   25: px1 - px0a   (bbox cols rel. window origin)
       26: py0 - py0c   27: py1 - py0c   (bbox rows rel. window origin)
 
@@ -375,8 +406,10 @@ def _class_fixup(recs_t, winh: int, width_pad: int, height_pad: int):
     blk0 = jnp.clip(jnp.floor(px0 * f(1.0 / 128.0)), 0,
                     (width_pad - WIN_W) // 128)
     px0a = blk0 * f(128.0)
-    straddle = (px1 > px0a + f(127.0)).astype(jnp.float32)
-    addr = jnp.stack([pyblk, blk0, straddle])
+    # px1 is clamped to width-1 < width_pad, so the end block never
+    # overruns the padded framebuffer
+    n_extra = jnp.maximum(jnp.floor(px1 * f(1.0 / 128.0)) - blk0, 0.0)
+    addr = jnp.stack([pyblk, blk0, n_extra])
     rel = jnp.stack([px0 - px0a, px1 - px0a, py0 - py0c, py1 - py0c])
     return jnp.concatenate([recs_t[:12], addr, recs_t[15:24], rel,
                             recs_t[28:]], axis=0)
@@ -466,10 +499,11 @@ def raster_frame_auto(clip, normal, valid, width: int, height: int, *,
 
 def raster_frame_pallas(clip, normal, valid, width: int, height: int, *,
                         caps=DEFAULT_CAPS,
-                        huge_cap: int = 64, background: float = 0.0,
+                        huge_cap: int = DEFAULT_HUGE_CAP,
+                        background: float = 0.0,
                         cell_mask=None, interpret: bool = False,
                         decode: bool = True, wireframe: bool = False,
-                        quad_cap: int = 128, clip_cap: int = 4096,
+                        quad_cap: int = 128, clip_cap: int = 512,
                         clip_run_cap: int = 64):
     """Drop-in twin of coverage.raster_frame running the fragment path as
     Pallas window kernels. Returns (image, depth, RasterCounters), or
@@ -506,7 +540,9 @@ def raster_frame_pallas(clip, normal, valid, width: int, height: int, *,
     tm, live, bw, bh, span = cov._setup_t(clip, normal, valid, width,
                                           height, cell_mask)
     tm = jax.lax.optimization_barrier(tm)
-    eligible = live & (span <= SPAN_CLASSES[-1]) & (bw <= MAX_BW)
+    # any width is eligible (the class kernel fori-loops over the bbox's
+    # 128-lane column blocks); only span (bbox row blocks) picks the class
+    eligible = live & (span <= SPAN_CLASSES[-1])
 
     width_pad = -(-max(width, WIN_W) // 128) * 128
     height_pad = -(-max(height, 8 * SPAN_CLASSES[-1]) // 8) * 8
@@ -580,29 +616,31 @@ def raster_frame_pallas(clip, normal, valid, width: int, height: int, *,
 
     # near-plane straddlers: Sutherland-Hodgman clipped into 1-2 triangles
     # each (GL parity, raster/nearclip.py), rasterized by the same
-    # bbox-bounded huge kernel. Two-stage: a whole-planet leaf set keeps
-    # ~1-2k straddlers every frame (coarse background quads crossing the
-    # camera plane — measured 1216 at the 20 km oracle camera), but almost
-    # all clip to off-screen triangles (live=False after projection), so
-    # only the few on-screen ones are compacted into kernel records.
-    s_idx = _segment(cid_straddle, off, clip_cap)
+    # bbox-bounded huge kernel. The mask's det3 + frustum-outcode filters
+    # keep only straddlers whose clipped parts can reach the screen (a
+    # handful, near-surface flight only), so the whole gather/clip/record
+    # pass sits behind one cond and costs nothing at altitude.
     n_straddle = counts[cid_straddle]
     overflowed = overflowed | (n_straddle > clip_cap)
-    tclip = nearclip.clipped_tris(clip, normal, s_idx, width, height)
-    lidx, n_live_clip = cov._compact_indices(tclip.live, clip_run_cap)
-    keep = lidx < tclip.live.shape[0]
-    sel = jnp.minimum(lidx, tclip.live.shape[0] - 1)
-    tliv = jax.tree.map(lambda a: jnp.take(a, sel, axis=0), tclip)
-    tliv = tliv._replace(live=tliv.live & keep)
-    overflowed = overflowed | (n_live_clip > clip_run_cap)
 
     def _run_clipped(b):
+        s_idx = _segment(cid_straddle, off, clip_cap)
+        tclip = nearclip.clipped_tris(clip, normal, s_idx, width, height)
+        lidx, n_live_clip = cov._compact_indices(tclip.live, clip_run_cap)
+        keep = lidx < tclip.live.shape[0]
+        sel = jnp.minimum(lidx, tclip.live.shape[0] - 1)
+        tliv = jax.tree.map(lambda a: jnp.take(a, sel, axis=0), tclip)
+        tliv = tliv._replace(live=tliv.live & keep)
         recs_c = nearclip.records_from_tris(tliv)
-        return _run_huge(recs_c, b, cap=clip_run_cap, width_pad=width_pad,
-                         height_pad=height_pad, interpret=interpret,
-                         wireframe=wireframe)
+        b = _run_huge(recs_c, b, cap=clip_run_cap, width_pad=width_pad,
+                      height_pad=height_pad, interpret=interpret,
+                      wireframe=wireframe)
+        return b, n_live_clip.astype(_I32)
 
-    fb = jax.lax.cond(n_live_clip > 0, _run_clipped, lambda b: b, fb)
+    fb, n_live_clip = jax.lax.cond(
+        n_straddle > 0, _run_clipped,
+        lambda b: (b, jnp.int32(0)), fb)
+    overflowed = overflowed | (n_live_clip > clip_run_cap)
 
     img_packed = fb[:height, :width]
     counters = cov.RasterCounters(

@@ -74,14 +74,20 @@ def straddle_mask_t(clip, valid, cell_mask=None):
 
     A straddler: all three vertices valid, at least one at w <= _W_MIN
     (screen projection breaks), at least one with f = z + w > 0 (something
-    beyond the near plane), and FRONT-FACING by the homogeneous test
+    beyond the near plane), FRONT-FACING by the homogeneous test
     det3(x, y, w) > 0 — the screen-winding sign is w-product-dependent and
     meaningless with mixed w signs, but det3's sign is invariant under
     near-plane clipping, and for all-w-positive triangles it equals the
-    raster's orientation test (front iff area2 * FRONT_SIGN > 0). Without
-    it, a whole-planet LOD leaf set contributes thousands of back-facing
-    far-side straddlers per frame (measured 2284 in the 20 km oracle
-    scene, all depth-occluded)."""
+    raster's orientation test (front iff area2 * FRONT_SIGN > 0) — and not
+    provably outside a lateral frustum plane: the visible region is the
+    intersection of the linear half-spaces w±x >= 0, w±y >= 0 in clip
+    space (valid for any w sign — GL's own clip volume), so a triangle
+    whose three vertices all violate the SAME plane cannot intersect it.
+    Without these filters a whole-planet LOD leaf set contributes ~1-2k
+    back-facing/off-screen straddlers per frame (measured 2284/1216 in
+    the 20 km oracle scene), all invisible; with them the mask keeps only
+    the handful whose clipped parts can reach the screen, and the callers
+    cond-gate the whole clip pass on the count."""
     q, g = clip.shape[0], clip.shape[1]
     w4 = clip[..., 3]
     f4 = clip[..., 2] + w4
@@ -94,8 +100,12 @@ def straddle_mask_t(clip, valid, cell_mask=None):
     det3 = (x0 * (y1 * ww2 - y2 * ww1)
             - y0 * (x1 * ww2 - x2 * ww1)
             + ww0 * (x1 * y2 - x2 * y1))
+    all_out = (((ww0 - x0 < 0.0) & (ww1 - x1 < 0.0) & (ww2 - x2 < 0.0))
+               | ((ww0 + x0 < 0.0) & (ww1 + x1 < 0.0) & (ww2 + x2 < 0.0))
+               | ((ww0 - y0 < 0.0) & (ww1 - y1 < 0.0) & (ww2 - y2 < 0.0))
+               | ((ww0 + y0 < 0.0) & (ww1 + y1 < 0.0) & (ww2 + y2 < 0.0)))
     m = ((v0 & v1 & v2) & (w0 | w1 | w2) & (f0 | f1 | f2)
-         & (det3 > 0.0))
+         & (det3 > 0.0) & ~all_out)
     return m & _cell_ok_mask(q, g, cell_mask)
 
 
