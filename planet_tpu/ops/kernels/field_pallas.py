@@ -148,7 +148,8 @@ def _df_div_const(ah, al, bh, bl):
 
 def _make_field_kernel(n: int, block_rows: int, kind: str, octaves: int,
                        lacunarity: float, gain: float, k_hi, k_lo,
-                       amplitude: float, xyscale: float, light):
+                       amplitude: float, xyscale: float, light,
+                       strip: bool = False):
     log2n = int(n).bit_length() - 1
     hb = n // LANES                 # block-rows per image row
     ext = block_rows + 2 * hb
@@ -158,9 +159,24 @@ def _make_field_kernel(n: int, block_rows: int, kind: str, octaves: int,
     ny_const = np.float32(2.0 * xyscale)
     amp = np.float32(amplitude)
 
-    def kernel(abc_ref, ct_ref, pt_ref, h_ref, shade_ref, carry_ref):
+    def kernel(*refs):
+        # strip mode: a leading SMEM scalar carries the TRACED flat-row
+        # offset (row0 * n/LANES) — all coordinate math is absolute, so a
+        # strip's halo rows (the first block's self-evaluated top strip and
+        # the last block's overhang) recompute the NEIGHBOR strip's values
+        # bit-identically: the sharded config-5 fast path needs no row
+        # ppermute at all (the reference's locally-generated-halo strategy,
+        # main.cpp:135-148, at chip granularity)
+        if strip:
+            (off_ref, abc_ref, ct_ref, pt_ref,
+             h_ref, shade_ref, carry_ref) = refs
+            off = off_ref[0]
+        else:
+            abc_ref, ct_ref, pt_ref, h_ref, shade_ref, carry_ref = refs
+            off = 0
         f = pl.program_id(0)
         b = pl.program_id(1)
+        boff = b * block_rows + off      # absolute flat-row block start
 
         def eval_heights(base, rows):
             # noise heights for `rows` flat rows starting at flat row
@@ -205,9 +221,9 @@ def _make_field_kernel(n: int, block_rows: int, kind: str, octaves: int,
         # row_c == 0 edge clamp below.
         @pl.when(b == 0)
         def _():
-            carry_ref[:] = eval_heights((b * block_rows - hb) * LANES, 2 * hb)
+            carry_ref[:] = eval_heights((boff - hb) * LANES, 2 * hb)
 
-        h_new = eval_heights((b * block_rows + hb) * LANES, block_rows)
+        h_new = eval_heights((boff + hb) * LANES, block_rows)
         h_ext = jnp.concatenate([carry_ref[:], h_new], axis=0)
         carry_ref[:] = h_new[block_rows - 2 * hb:]
 
@@ -229,7 +245,7 @@ def _make_field_kernel(n: int, block_rows: int, kind: str, octaves: int,
 
         # face-edge clamp = edge replication (the XLA path's h_pad)
         rr_c = jax.lax.broadcasted_iota(_I32, (block_rows, LANES), 0)
-        idx_c = b * block_rows * LANES + rr_c * LANES + lane_c
+        idx_c = boff * LANES + rr_c * LANES + lane_c
         col_c = idx_c & nmask
         row_c = jax.lax.shift_right_arithmetic(idx_c, np.int32(log2n))
         h_l = jnp.where(col_c == 0, h_c, left_c)
@@ -287,6 +303,96 @@ def _build_field_call(n: int, block_rows: int, kind: str, octaves: int,
         interpret=interpret,
         compiler_params=params,
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _build_field_strip_call(n: int, rows: int, block_rows: int, kind: str,
+                            octaves: int, lacunarity: float, gain: float,
+                            k_hi, k_lo, amplitude: float, xyscale: float,
+                            light, interpret: bool):
+    rows_per_strip = rows * n // LANES
+    nb = rows_per_strip // block_rows
+    kernel = _make_field_kernel(n, block_rows, kind, octaves, lacunarity,
+                                gain, k_hi, k_lo, amplitude, xyscale, light,
+                                strip=True)
+    out_spec = pl.BlockSpec((block_rows, LANES),
+                            lambda f, b: (f * nb + b, 0),
+                            memory_space=pltpu.VMEM)
+    table_spec = pl.BlockSpec((8, LANES), lambda f, b: (0, 0),
+                              memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_shape = jax.ShapeDtypeStruct((6 * rows_per_strip, LANES),
+                                     jnp.float32)
+    params = None if interpret else pltpu.CompilerParams(
+        dimension_semantics=("arbitrary", "arbitrary"),
+        vmem_limit_bytes=min(100 * 1024 * 1024,
+                             _device_vmem_bytes() * 3 // 4))
+    return pl.pallas_call(
+        kernel,
+        out_shape=(out_shape, out_shape),
+        grid=(6, nb),
+        in_specs=[smem_spec, smem_spec] + [table_spec] * 2,
+        out_specs=(out_spec, out_spec),
+        scratch_shapes=[pltpu.VMEM((2 * (n // LANES), LANES), jnp.float32)],
+        interpret=interpret,
+        compiler_params=params,
+    )
+
+
+def field_cube_strip(n: int, radius: float, row0, rows: int, *,
+                     kind="ridged", octaves=6, lacunarity=2.0, gain=0.55,
+                     coord_scale=0.00001, amplitude=8848.0, xyscale=None,
+                     light=None, block_rows=DEFAULT_BLOCK_ROWS,
+                     interpret=None):
+    """Fused field for a horizontal strip of `rows` image rows starting at
+    TRACED global row `row0` of every face: returns (heights, shade), each
+    (6, rows, n) f32 — the sharded config-5 fast path (one chip per strip).
+
+    Coordinates are absolute (in-kernel iota + the traced flat-row
+    offset), so the strip's halo rows recompute the NEIGHBOR strip's
+    values bit-identically — no row ppermute is needed between chips; only
+    the face-edge seams differ from the exchange-mode XLA path (this
+    kernel clamps at face edges, seam='clamp'). Strip values equal the
+    corresponding rows of field_cube(n) exactly (same absolute-coordinate
+    arithmetic; asserted in tests/test_field_pallas.py)."""
+    n = int(n)
+    rows = int(rows)
+    if n & (n - 1) or n % LANES:
+        raise ValueError(f"n must be a power-of-two multiple of 128: {n}")
+    if (rows * n) % LANES:
+        raise ValueError(f"rows*n must be a multiple of {LANES}")
+    if kind not in ("fbm", "ridged"):
+        raise ValueError(kind)
+    if interpret is None:
+        interpret = not pk._is_tpu()
+    rows_per_strip = rows * n // LANES
+    block_rows = min(int(block_rows), rows_per_strip)
+    if not interpret:
+        block_rows = min(block_rows, _max_block_rows_for_vmem())
+    while rows_per_strip % block_rows:
+        block_rows //= 2
+    block_rows = max(block_rows, 2 * (n // LANES))
+    if rows_per_strip % block_rows:
+        raise ValueError(
+            f"rows={rows} not tileable: strip flat rows {rows_per_strip} "
+            f"must divide by block_rows >= {2 * (n // LANES)}")
+    if xyscale is None:
+        xyscale = (np.pi / 2) * float(radius) / n
+    if light is None:
+        from planet_tpu.raster import shade as shade_mod
+        light = tuple(float(v) for v in np.asarray(shade_mod._LIGHT))
+    k = np.float64(radius) * np.float64(coord_scale)
+    k_hi = np.float32(k)
+    k_lo = np.float32(k - np.float64(k_hi))
+
+    call = _build_field_strip_call(
+        n, rows, block_rows, kind, int(octaves), float(lacunarity),
+        float(np.float32(gain)), k_hi, k_lo, float(amplitude),
+        float(xyscale), tuple(light), bool(interpret))
+    off = jnp.asarray(row0, jnp.int32).reshape(1) * jnp.int32(n // LANES)
+    abc = jnp.asarray(_face_affine_np())
+    h, shade = call(off, abc, *pk._tables_for_kernel())
+    return h.reshape(6, rows, n), shade.reshape(6, rows, n)
 
 
 def field_cube(n: int, radius: float, *, kind="ridged", octaves=6,

@@ -75,3 +75,20 @@ def test_bad_n_rejected():
         field_pallas.field_cube(192, RADIUS)
     with pytest.raises(ValueError):
         field_pallas.field_cube(64, RADIUS)
+
+
+def test_field_strip_matches_full_cube():
+    """field_cube_strip (the sharded config-5 fast path: traced row offset,
+    in-kernel halo recompute) returns exactly the corresponding rows of the
+    full-cube kernel — same absolute-coordinate arithmetic, bitwise."""
+    import jax.numpy as jnp
+
+    n, rows = 256, 64
+    h_full, s_full = field_pallas.field_cube(n, 6.371e6, interpret=True)
+    for row0 in (0, 64, 192):
+        h, s = field_pallas.field_cube_strip(n, 6.371e6, jnp.int32(row0),
+                                             rows, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(h), np.asarray(h_full[:, row0:row0 + rows, :]))
+        np.testing.assert_array_equal(
+            np.asarray(s), np.asarray(s_full[:, row0:row0 + rows, :]))
