@@ -102,17 +102,33 @@ f_strip = jax.jit(strip_step)
 # vary row0 within the face (all strips cost the same noise work)
 dt_strip = slope(f_strip, lambda k: jnp.int32((k % N_CHIPS) * rows))
 stex = 6 * rows * n
-print(f"per-chip strip (6, {rows}, {n}): {dt_strip*1e3:.1f} ms, "
+print(f"per-chip strip XLA-composed (6, {rows}, {n}): {dt_strip*1e3:.1f} ms, "
       f"{stex/dt_strip/1e9:.2f} Gtexels/s/chip")
 mem("after strip")
+
+
+# ---- 3. per-chip strip through the FUSED kernel (field_cube_strip):
+# in-kernel coords + halo recompute, no materialized points
+def strip_fused(row0):
+    from planet_tpu.ops.kernels import field_pallas
+    h, s = field_pallas.field_cube_strip(n, radius, row0, rows,
+                                         block_rows=br)
+    h = h + row0.astype(jnp.float32) * jnp.float32(0.0)
+    return jnp.sum(h, dtype=jnp.float32) + jnp.sum(s, dtype=jnp.float32)
+
+f_fused = jax.jit(strip_fused)
+dt_fused = slope(f_fused, lambda k: jnp.int32((k % N_CHIPS) * rows))
+print(f"per-chip strip FUSED (6, {rows}, {n}): {dt_fused*1e3:.1f} ms, "
+      f"{stex/dt_fused/1e9:.2f} Gtexels/s/chip")
 
 # collective budget on v5e-8 (docs/multislice.md): face-edge ring psum
 # 6*4*n*4 B over ICI (~0.05 ms at 100 GB/s + us latency), stats psum 8 B
 ring_mb = 6 * 4 * n * 4 / 2**20
-proj = dt_strip * 1e3 + 0.1
+proj = min(dt_strip, dt_fused) * 1e3 + 0.1
 print(f"projected v5e-8 frame: {proj:.1f} ms "
-      f"(strip + {ring_mb:.2f} MB ring psum; aggregate "
-      f"{stex*N_CHIPS/dt_strip/1e9:.1f} Gtexels/s)")
+      f"(best strip + {ring_mb:.2f} MB ring psum; aggregate "
+      f"{stex*N_CHIPS/min(dt_strip, dt_fused)/1e9:.1f} Gtexels/s)")
 print(f'{{"config5_full_field_ms": {dt_full*1e3:.1f}, '
-      f'"config5_strip_ms": {dt_strip*1e3:.1f}, '
+      f'"config5_strip_xla_ms": {dt_strip*1e3:.1f}, '
+      f'"config5_strip_fused_ms": {dt_fused*1e3:.1f}, '
       f'"config5_projected_v5e8_ms": {proj:.1f}}}')

@@ -38,8 +38,9 @@ mode = sys.argv[6] if len(sys.argv) > 6 else "two"
 # cache), a wider quad compaction, and ~2.5x the class caps
 if quality > 2.0:
     cfg = EngineConfig(lod_quality=quality, cache_capacity=4096)
-    RASTER_CFG = dict(quad_cap=384,
-                      caps=(49152, 76800, 26624, 7424, 3200, 256))
+    RASTER_CFG = dict(quad_cap=640,
+                      caps=(65536, 73728, 28672, 10240, 10240, 4096),
+                      huge_cap=3072)
 else:
     cfg = EngineConfig(lod_quality=quality) if quality != 1.0 \
         else EngineConfig()
@@ -111,22 +112,28 @@ def main():
 
     # slope timing over the SUSTAINED moving segment: re-run the same
     # trajectory from a mid-state pool so every timed frame pays refine +
-    # generation churn + raster. Queue depth cancels the tunnel latency.
+    # generation churn + raster. Queue depth cancels the tunnel latency;
+    # the median of 3 repeats cancels tunnel/queue noise (single slopes
+    # were measured wandering +-1.5 ms run to run).
     checksum = jax.jit(lambda img: jnp.sum(img, dtype=jnp.float32))
-    walls = []
-    for nq in (8, 24):
-        pool2 = r.init_pool()
-        # prime with the first 8 frames
-        for ch, cl, vp in cams[:8]:
-            pool2, out = r.render(pool2, ch, cl, vp)
-        np.asarray(checksum(out.image))
-        t0 = time.perf_counter()
-        for ch, cl, vp in cams[8:8 + nq]:
-            pool2, out = r.render(pool2, ch, cl, vp)
-        np.asarray(checksum(out.image))
-        walls.append(time.perf_counter() - t0)
-    dt = (walls[1] - walls[0]) / 16
-    print(f"moving frame (slope, churn sustained): {dt * 1e3:.2f} ms")
+    dts = []
+    for rep in range(3):
+        walls = []
+        for nq in (8, 24):
+            pool2 = r.init_pool()
+            # prime with the first 8 frames
+            for ch, cl, vp in cams[:8]:
+                pool2, out = r.render(pool2, ch, cl, vp)
+            np.asarray(checksum(out.image))
+            t0 = time.perf_counter()
+            for ch, cl, vp in cams[8:8 + nq]:
+                pool2, out = r.render(pool2, ch, cl, vp)
+            np.asarray(checksum(out.image))
+            walls.append(time.perf_counter() - t0)
+        dts.append((walls[1] - walls[0]) / 16)
+    print("slope repeats:", [f"{d * 1e3:.2f}" for d in dts])
+    dt = float(np.median(dts))
+    print(f"moving frame (slope median, churn sustained): {dt * 1e3:.2f} ms")
 
 
 if __name__ == "__main__":
