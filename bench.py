@@ -277,13 +277,14 @@ def bench_lod_frame_moving(cfg):
     import jax.numpy as jnp
 
     from planet_tpu.engine.device_step import DeviceRenderer
-    from tools.bench_moving import camera_at
+    from tools.bench_moving import camera_at, MOVING_RASTER_CFG
 
     on_tpu = jax.default_backend() == "tpu"
     if not on_tpu:
         return None
     W, H = 1920, 1080
-    r = DeviceRenderer(cfg, W, H, cap=8192, gen_cap=256, render_cap=1024)
+    r = DeviceRenderer(cfg, W, H, cap=8192, gen_cap=256, render_cap=1024,
+                       raster_cfg=MOVING_RASTER_CFG)
     n_frames = 32
     alts = np.linspace(20000.0, 3000.0, 48)[:n_frames]
     cams = [camera_at(cfg, i * 1e-3, a, W, H) for i, a in enumerate(alts)]

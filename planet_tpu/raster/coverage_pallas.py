@@ -49,14 +49,16 @@ _I32 = jnp.int32
 WIN_W = 128                      # one lane-aligned framebuffer block
 MAX_BW = 128   # kept for measurement tools; the ladder itself is width-unbounded
 SPAN_CLASSES = (1, 2, 3, 4, 8, 16)   # aligned 8-row block-span ladder
-# per-class triangle caps: ~1.2-1.7x the WORST measured 1080p moving-orbit
-# frame (22459/31026/11699/2986/3538/1770 at the horizon-grazing frames,
-# tools/debug_overflow.py — the static 20 km scene needs ~2/3 of this),
-# rounded to TRI_BLOCK. Dead records (cap padding) cost one scalar flag
-# read each; overflow is counted, never silent.
-DEFAULT_CAPS = (24576, 36864, 14336, 5120, 5120, 2048)
-DEFAULT_HUGE_CAP = 1536   # tall (span > 16) silhouette slivers: the worst
-                          # moving-orbit frame carries ~1150 live
+# per-class triangle caps: ~1.35x the measured static 1080p LOD demand
+# (15067/22611/7696/2098/888/14 at 20 km altitude), rounded to TRI_BLOCK.
+# Dead records (cap padding) cost one scalar flag read each, but the
+# extra grid steps of oversized caps are NOT free (~0.4 ms for 2.5x caps
+# at 1080p), so defaults fit the typical scene and heavier workloads pass
+# their own sizes (engine raster_cfg; e.g. the moving orbit's horizon
+# frames need (24576, 36864, 14336, 5120, 5120, 2048) + huge 1536 —
+# tools/debug_overflow.py). Overflow is counted, never silent.
+DEFAULT_CAPS = (20352, 30592, 10496, 2944, 1280, 128)
+DEFAULT_HUGE_CAP = 64
 TRI_BLOCK = 16                   # triangles per grid step
 HUGE_BLOCK = 8                   # huge records per grid step
 TR_BLOCK = 128                   # record columns per transpose-kernel step

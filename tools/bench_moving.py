@@ -36,6 +36,8 @@ mode = sys.argv[6] if len(sys.argv) > 6 else "two"
 # capacities sized to the workload: the reference-shape scene (~1k leaves)
 # needs a deeper pool (its working set exceeds the reference's 1024-slot
 # cache), a wider quad compaction, and ~2.5x the class caps
+MOVING_RASTER_CFG = dict(caps=(24576, 36864, 14336, 5120, 5120, 2048),
+                         huge_cap=1536)
 if quality > 2.0:
     cfg = EngineConfig(lod_quality=quality, cache_capacity=4096)
     RASTER_CFG = dict(quad_cap=640,
@@ -44,7 +46,9 @@ if quality > 2.0:
 else:
     cfg = EngineConfig(lod_quality=quality) if quality != 1.0 \
         else EngineConfig()
-    RASTER_CFG = None
+    # the orbit's horizon-grazing frames need ~1.6x the static-scene
+    # ladder + a deep tall-sliver huge class (tools/debug_overflow.py)
+    RASTER_CFG = MOVING_RASTER_CFG
 W, H = 1920, 1080
 
 
