@@ -211,6 +211,48 @@ def sharded_field_step(mesh: Mesh, *, octaves: int = 6, kind: str = "ridged",
     return jax.jit(mapped)
 
 
+def sharded_field_step_fused(mesh: Mesh, n: int, radius: float, *,
+                             octaves: int = 6, kind: str = "ridged",
+                             axis: str = "rows",
+                             interpret: Optional[bool] = None):
+    """Config-5 FAST path: every chip runs the fused field kernel
+    (ops.kernels.field_pallas.field_cube_strip) on its own row strip —
+    in-kernel iota coordinates, noise, halo, normals, shade, nothing but
+    the outputs in HBM. The strip's halo rows RECOMPUTE the neighbor
+    chip's values from absolute coordinates (bit-identical; tested), so
+    NO ppermute crosses chips at all — only the psum'd frame stats.
+    Face-edge seams clamp (the fused kernel's seam='clamp' policy; the
+    exchange-seam variant is sharded_field_step).
+
+    Returns jitted fn(tick) -> (heights (6, n, n) row-sharded, shade,
+    stats). Measured 2.20 Gtexels/s/chip on the (6, 1024, 8192) v5e-8
+    shard vs 1.07 for the XLA-composed sharded program (the materialized
+    DF point grids are the difference) — tools/bench_config5_field.py."""
+    from planet_tpu.ops.kernels import field_pallas
+
+    nsh = mesh.shape[axis]
+    if n % nsh:
+        raise ValueError(f"{nsh} chips do not divide {n} rows")
+    rows = n // nsh
+
+    def step(tick):
+        idx = lax.axis_index(axis)
+        h, sh = field_pallas.field_cube_strip(
+            n, radius, idx.astype(jnp.int32) * rows, rows, kind=kind,
+            octaves=octaves, interpret=interpret)
+        h = h + tick * jnp.float32(0.0)        # live traced input
+        texels = lax.psum(jnp.float32(h.size), axis)
+        checksum = lax.psum(jnp.sum(h, dtype=jnp.float32), axis)
+        return h, sh, jnp.stack([texels, checksum])
+
+    spec = P(None, axis, None)
+    # check_vma=False: the pallas_call inside doesn't annotate its outputs'
+    # mesh-axis variance (same setting as build_sharded_render)
+    mapped = shard_map(step, mesh=mesh, in_specs=(P(),),
+                       out_specs=(spec, spec, P()), check_vma=False)
+    return jax.jit(mapped)
+
+
 def unsharded_field_step(*, octaves: int = 6, kind: str = "ridged",
                          xyscale: float = 1000.0, use_pallas: bool = False,
                          interpret: Optional[bool] = None,

@@ -264,3 +264,22 @@ def test_face_grid_points_df_matches_host_f64():
     jitted = collect(*jax.jit(
         lambda: facemesh.face_grid_points_df(n, radius, o))())
     assert (np.abs(jitted - ref) / radius).max() < 5e-7
+
+
+def test_sharded_fused_field_matches_full_cube():
+    """The config-5 fast path (per-chip fused strips, zero inter-chip
+    halo traffic): the row-sharded (6, n, n) outputs equal the
+    single-device fused full-cube kernel BITWISE — the strips recompute
+    their halo rows from absolute coordinates."""
+    from planet_tpu.ops.kernels import field_pallas
+
+    n = 256
+    mesh = sharded.make_mesh(8)
+    fn = sharded.sharded_field_step_fused(mesh, n, 6.371e6, octaves=4,
+                                          interpret=True)
+    h, sh, stats = fn(jnp.float32(0))
+    h_full, s_full = field_pallas.field_cube(n, 6.371e6, octaves=4,
+                                             interpret=True)
+    np.testing.assert_array_equal(np.asarray(h), np.asarray(h_full))
+    np.testing.assert_array_equal(np.asarray(sh), np.asarray(s_full))
+    assert float(np.asarray(stats)[0]) == 6 * n * n
