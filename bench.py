@@ -254,15 +254,19 @@ def bench_lod_frame(cfg):
         return (time.perf_counter() - t0) * 1e3
 
     # slope timing: frames chain through the pool, so syncing the last
-    # frame's checksum proves the whole queue ran
-    walls = []
-    for n in (4, 16):
-        t0 = time.perf_counter()
-        for _ in range(n):
-            pool, frame = r.render(pool, ch, cl, vp)
-        np.asarray(checksum(frame.image))
-        walls.append(time.perf_counter() - t0)
-    return (walls[1] - walls[0]) / 12 * 1e3
+    # frame's checksum proves the whole queue ran. Median of 3 repeats:
+    # single slopes through the tunnel wander +-1.5 ms run to run.
+    dts = []
+    for rep in range(3):
+        walls = []
+        for n in (4, 16):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                pool, frame = r.render(pool, ch, cl, vp)
+            np.asarray(checksum(frame.image))
+            walls.append(time.perf_counter() - t0)
+        dts.append((walls[1] - walls[0]) / 12)
+    return float(np.median(dts)) * 1e3
 
 
 def bench_lod_frame_moving(cfg):
