@@ -65,14 +65,38 @@ def _df_mul(ah, al, bh, bl):
 
 def _make_tile_kernel(kind: str, octaves: int, lacunarity: float,
                       gain: float, amplitude: float, dim: int,
-                      rows_per_tile: int, per_row_octaves: bool = False):
+                      rows_per_tile: int, per_row_octaves: bool = False,
+                      skip_dead: bool = False):
     div = np.float64(1.0) / np.float64(dim - 3)
     div_hi = np.float32(div)
     div_lo = np.float32(div - np.float64(div_hi))
     amp = np.float32(amplitude)
     lanes_per_row = dim * dim // rows_per_tile     # texels per row = LANES
 
-    def kernel(cref, ct_ref, pt_ref, out_ref):
+    def kernel(*refs):
+        # skip_dead: a leading SMEM per-block liveness flag (any tile in
+        # the block has octaves > 0). The fused frame step launches a
+        # fixed gen_cap of tile slots every frame while the steady-state
+        # demand is ~0-40 tiles — dead blocks write zeros and skip the
+        # whole octave unroll (measured ~1 ms of the static LOD frame).
+        if skip_dead:
+            live_ref, cref, ct_ref, pt_ref, out_ref = refs
+        else:
+            cref, ct_ref, pt_ref, out_ref = refs
+        if skip_dead:
+            @pl.when(live_ref[pl.program_id(0)] == 0)
+            def _zero():
+                out_ref[:] = jnp.zeros_like(out_ref)
+
+            body = pl.when(live_ref[pl.program_id(0)] != 0)
+        else:
+            body = lambda f: f()
+
+        @body
+        def _run():
+            _tile_block(cref, ct_ref, pt_ref, out_ref)
+
+    def _tile_block(cref, ct_ref, pt_ref, out_ref):
         br = out_ref.shape[0]
         # texel coordinates from iota: within-tile texel = (r % rpt)*128 + lane
         r = jax.lax.broadcasted_iota(jnp.int32, (br, LANES), 0)
@@ -130,7 +154,8 @@ def _make_tile_kernel(kind: str, octaves: int, lacunarity: float,
 def _build_tile_call(kind: str, octaves: int, lacunarity: float, gain: float,
                      amplitude: float, dim: int, n_tiles: int,
                      tiles_per_block: int, interpret: bool,
-                     per_row_octaves: bool = False):
+                     per_row_octaves: bool = False,
+                     skip_dead: bool = False):
     texels = dim * dim
     assert texels % LANES == 0
     rows_per_tile = texels // LANES
@@ -138,7 +163,8 @@ def _build_tile_call(kind: str, octaves: int, lacunarity: float, gain: float,
     rows_total = n_tiles * rows_per_tile
     assert rows_total % block_rows == 0
     kernel = _make_tile_kernel(kind, octaves, lacunarity, gain, amplitude,
-                               dim, rows_per_tile, per_row_octaves)
+                               dim, rows_per_tile, per_row_octaves,
+                               skip_dead)
     grid = rows_total // block_rows
     payload_w = 32 if per_row_octaves else 24
     data_spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
@@ -147,11 +173,13 @@ def _build_tile_call(kind: str, octaves: int, lacunarity: float, gain: float,
                                memory_space=pltpu.VMEM)
     table_spec = pl.BlockSpec((8, LANES), lambda i: (0, 0),
                               memory_space=pltpu.VMEM)
+    live_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] if skip_dead
+                  else [])
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32),
         grid=(grid,),
-        in_specs=[corner_spec] + [table_spec] * 2,
+        in_specs=live_specs + [corner_spec] + [table_spec] * 2,
         out_specs=data_spec,
         interpret=interpret,
     )
@@ -209,12 +237,21 @@ def tiles_mixed_octaves(rows32, octaves_rows, n_tiles_padded: int, *,
     if interpret is None:
         interpret = not pk._is_tpu()
     rows32 = rows32.at[:, 24].set(octaves_rows)
+    # per-block liveness (SMEM flags): a block whose tiles all have
+    # octaves == 0 writes zeros and skips the octave unroll — the frame
+    # step launches gen_cap slots while steady-state demand is ~0-40
+    rows_per_tile = dim * dim // LANES
+    block_rows = tiles_per_block * rows_per_tile
+    n_blocks = (n_tiles_padded * rows_per_tile) // block_rows
+    blk_live = (jnp.max(octaves_rows.reshape(n_blocks, -1), axis=1)
+                > 0.0).astype(jnp.int32)
     call = _build_tile_call(kind, int(max_octaves), float(lacunarity),
                             float(np.float32(gain)),
                             float(np.float32(amplitude)), int(dim),
                             int(n_tiles_padded), int(tiles_per_block),
-                            bool(interpret), per_row_octaves=True)
-    out = call(rows32, *pk._tables_for_kernel())
+                            bool(interpret), per_row_octaves=True,
+                            skip_dead=True)
+    out = call(blk_live, rows32, *pk._tables_for_kernel())
     return out.reshape(n_tiles_padded, dim, dim)
 
 
