@@ -77,7 +77,7 @@ class RasterCounters(NamedTuple):
                                # class, huge last
     n_huge: jnp.ndarray        # () i32 needing the full-screen pass
     overflowed: jnp.ndarray    # () bool any class cap exceeded
-    n_straddle: jnp.ndarray = None   # () i32 near-plane straddlers clipped
+    n_straddle: jnp.ndarray    # () i32 near-plane straddlers clipped
 
 
 def _tri_corners(a, channel: bool):
@@ -588,22 +588,11 @@ def _quad_live_t(clip, valid, width: int, height: int, cell_mask=None):
     # must survive quad compaction — the clip pass (raster/nearclip.py)
     # draws their visible parts. Same per-vertex rules as straddle_mask_t:
     # det3 front-face + lateral-frustum-outcode pre-filters.
+    from planet_tpu.raster import nearclip
     f4 = clip[..., 2] + w4
-    v0, v1, v2 = tri3(valid)
-    wl0, wl1, wl2 = tri3(w4 <= _W_MIN)
-    f0, f1, f2 = tri3(f4 > 0.0)
-    cx0, cx1, cx2 = tri3(clip[..., 0])
-    cy0, cy1, cy2 = tri3(clip[..., 1])
-    cw0, cw1, cw2 = tri3(w4)
-    det3 = (cx0 * (cy1 * cw2 - cy2 * cw1)
-            - cy0 * (cx1 * cw2 - cx2 * cw1)
-            + cw0 * (cx1 * cy2 - cx2 * cy1))
-    all_out = (((cw0 - cx0 < 0.0) & (cw1 - cx1 < 0.0) & (cw2 - cx2 < 0.0))
-               | ((cw0 + cx0 < 0.0) & (cw1 + cx1 < 0.0) & (cw2 + cx2 < 0.0))
-               | ((cw0 - cy0 < 0.0) & (cw1 - cy1 < 0.0) & (cw2 - cy2 < 0.0))
-               | ((cw0 + cy0 < 0.0) & (cw1 + cy1 < 0.0) & (cw2 + cy2 < 0.0)))
-    straddle = ((v0 & v1 & v2) & (wl0 | wl1 | wl2) & (f0 | f1 | f2)
-                & (det3 > 0.0) & ~all_out & cell_keep)
+    straddle = nearclip.straddle_from_verts(
+        tri3(valid), tri3(w4 <= _W_MIN), tri3(f4 > 0.0),
+        tri3(clip[..., 0]), tri3(clip[..., 1]), tri3(w4)) & cell_keep
     keep = (live | straddle).any(axis=(0, 2))
     return keep, jnp.sum(live.astype(_I32))
 
@@ -773,7 +762,15 @@ def raster_frame(clip, normal, valid, width: int, height: int, *,
     n_straddle = jnp.sum(smask.astype(_I32))
     overflowed = overflowed | (n_straddle > clip_cap)
 
-    def _huge_and_clipped(b):
+    # huge and clipped passes gate on SEPARATE conds (each full-screen
+    # slot costs the whole framebuffer): a frame with straddlers but no
+    # huge triangles — or vice versa — only pays for the set it has.
+    buf = jax.lax.cond(
+        n_huge > 0,
+        lambda b: _huge_pass(b, th, width, height, wireframe),
+        lambda b: b, buf)
+
+    def _clipped(b):
         s_idx, _ = _compact_indices(smask, clip_cap)
         tclip = nearclip.clipped_tris(clip, normal, s_idx, width, height)
         lidx, n_live_clip = _compact_indices(tclip.live, clip_run_cap)
@@ -781,13 +778,11 @@ def raster_frame(clip, normal, valid, width: int, height: int, *,
         sel = jnp.minimum(lidx, tclip.live.shape[0] - 1)
         tliv = jax.tree.map(lambda a: jnp.take(a, sel, axis=0), tclip)
         tliv = tliv._replace(live=tliv.live & keep)
-        th2 = jax.tree.map(lambda a, c: jnp.concatenate([a, c]), th, tliv)
-        return (_huge_pass(b, th2, width, height, wireframe),
+        return (_huge_pass(b, tliv, width, height, wireframe),
                 n_live_clip.astype(_I32))
 
     buf, n_live_clip = jax.lax.cond(
-        (n_huge > 0) | (n_straddle > 0), _huge_and_clipped,
-        lambda b: (b, jnp.int32(0)), buf)
+        n_straddle > 0, _clipped, lambda b: (b, jnp.int32(0)), buf)
     overflowed = overflowed | (n_live_clip > clip_run_cap)
 
     img_packed = buf.reshape(height, width)

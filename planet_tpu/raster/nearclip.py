@@ -68,6 +68,29 @@ def _cell_ok_mask(q: int, g: int, cell_mask):
         np.broadcast_to(cell_ok[None, None], (2, q, g, g)).reshape(-1))
 
 
+def straddle_from_verts(v3, wl3, f3, x3, y3, w3):
+    """The per-vertex straddle predicate shared by straddle_mask_t and
+    coverage._quad_live_t (one definition so compaction liveness and the
+    clip pass can never silently diverge). Inputs are 3-tuples of
+    same-shaped per-vertex arrays: valid, w <= _W_MIN, f = z + w > 0,
+    clip x, clip y, clip w. See straddle_mask_t for the geometry."""
+    v0, v1, v2 = v3
+    wl0, wl1, wl2 = wl3
+    f0, f1, f2 = f3
+    x0, x1, x2 = x3
+    y0, y1, y2 = y3
+    w0, w1, w2 = w3
+    det3 = (x0 * (y1 * w2 - y2 * w1)
+            - y0 * (x1 * w2 - x2 * w1)
+            + w0 * (x1 * y2 - x2 * y1))
+    all_out = (((w0 - x0 < 0.0) & (w1 - x1 < 0.0) & (w2 - x2 < 0.0))
+               | ((w0 + x0 < 0.0) & (w1 + x1 < 0.0) & (w2 + x2 < 0.0))
+               | ((w0 - y0 < 0.0) & (w1 - y1 < 0.0) & (w2 - y2 < 0.0))
+               | ((w0 + y0 < 0.0) & (w1 + y1 < 0.0) & (w2 + y2 < 0.0)))
+    return ((v0 & v1 & v2) & (wl0 | wl1 | wl2) & (f0 | f1 | f2)
+            & (det3 > 0.0) & ~all_out)
+
+
 def straddle_mask_t(clip, valid, cell_mask=None):
     """(N,) bool straddler mask in coverage._setup_t's parity-major
     candidate order (N = 2*Q*G*G).
@@ -91,21 +114,12 @@ def straddle_mask_t(clip, valid, cell_mask=None):
     q, g = clip.shape[0], clip.shape[1]
     w4 = clip[..., 3]
     f4 = clip[..., 2] + w4
-    v0, v1, v2 = _tri3_t(valid, q, g)
-    w0, w1, w2 = _tri3_t(w4 <= cov._W_MIN, q, g)
-    f0, f1, f2 = _tri3_t(f4 > 0.0, q, g)
-    x0, x1, x2 = _tri3_t(clip[..., 0], q, g)
-    y0, y1, y2 = _tri3_t(clip[..., 1], q, g)
-    ww0, ww1, ww2 = _tri3_t(w4, q, g)
-    det3 = (x0 * (y1 * ww2 - y2 * ww1)
-            - y0 * (x1 * ww2 - x2 * ww1)
-            + ww0 * (x1 * y2 - x2 * y1))
-    all_out = (((ww0 - x0 < 0.0) & (ww1 - x1 < 0.0) & (ww2 - x2 < 0.0))
-               | ((ww0 + x0 < 0.0) & (ww1 + x1 < 0.0) & (ww2 + x2 < 0.0))
-               | ((ww0 - y0 < 0.0) & (ww1 - y1 < 0.0) & (ww2 - y2 < 0.0))
-               | ((ww0 + y0 < 0.0) & (ww1 + y1 < 0.0) & (ww2 + y2 < 0.0)))
-    m = ((v0 & v1 & v2) & (w0 | w1 | w2) & (f0 | f1 | f2)
-         & (det3 > 0.0) & ~all_out)
+    m = straddle_from_verts(_tri3_t(valid, q, g),
+                            _tri3_t(w4 <= cov._W_MIN, q, g),
+                            _tri3_t(f4 > 0.0, q, g),
+                            _tri3_t(clip[..., 0], q, g),
+                            _tri3_t(clip[..., 1], q, g),
+                            _tri3_t(w4, q, g))
     return m & _cell_ok_mask(q, g, cell_mask)
 
 
@@ -171,10 +185,8 @@ def clip_expand(vc, vn, live):
 
     usable = live & ((cnt == 1) | (cnt == 2))
     # guard dead lanes against 0/0 (their outputs are masked by clive)
-    safe = jnp.where(usable, _F32(1.0), _F32(0.0))
     t01 = jnp.where(usable, f0 / jnp.where(usable, f0 - f1, 1.0), 0.0)
     t20 = jnp.where(usable, f2 / jnp.where(usable, f2 - f0, 1.0), 0.0)
-    del safe
     i01c = c0 + (c1 - c0) * t01[:, None]
     i01n = n0 + (n1 - n0) * t01[:, None]
     i20c = c2 + (c0 - c2) * t20[:, None]
