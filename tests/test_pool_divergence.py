@@ -192,8 +192,11 @@ def test_pool_divergence_under_capacity_pressure():
 def test_pool_divergence_long_horizon_bounded():
     """A few hundred frames of sustained capacity pressure (VERDICT r4 #8):
     the device pool's generation counts must stay inside a CONCRETE band of
-    the host's for the whole horizon — cumulative in [0.6, 1.1]x and every
-    20-frame window within |dev - host| <= 0.6*host + 8 — with the safety
+    the host's for the whole horizon — cumulative in [0.7, 0.9]x and every
+    20-frame window within |dev - host| <= 0.4*host + 8 (tightened round 5
+    to the measured stable curve: cumulative 0.78x, periodic, no drift —
+    VERDICT r4 asked for bounds a drifted policy could NOT pass) — with the
+    safety
     invariants (no mid-frame clobbering, dropped generations counted)
     holding on every frame. The measured 240-frame curve (device 0.78x the
     host's generations, hit rate 0.71 vs 0.62 — the batched LRU avoids the
@@ -229,9 +232,9 @@ def test_pool_divergence_long_horizon_bounded():
     gd, gh = np.array(gd, float), np.array(gh, float)
     # skip the identical cold-start frame for the band
     cum_ratio = gd[1:].sum() / gh[1:].sum()
-    assert 0.6 <= cum_ratio <= 1.1, cum_ratio
+    assert 0.7 <= cum_ratio <= 0.9, cum_ratio
     w = 20
     rd = np.convolve(gd[1:], np.ones(w), "valid")
     rh = np.convolve(gh[1:], np.ones(w), "valid")
-    assert (np.abs(rd - rh) <= 0.6 * rh + 8).all(), \
-        np.max(np.abs(rd - rh) - 0.6 * rh)
+    assert (np.abs(rd - rh) <= 0.4 * rh + 8).all(), \
+        np.max(np.abs(rd - rh) - 0.4 * rh)
