@@ -396,7 +396,9 @@ static const int kDepthBits = 21, kShadeBits = 10;
 
 static inline float snap16(float v) { return rintf(v * 16.0f) * 0.0625f; }
 
-struct RVert { float x, y, z, iw; V3f niw; };  // snapped screen + varyings
+// snapped screen + varyings; w = clip w (= z_view) for the view-space
+// far-straddle test (round 5)
+struct RVert { float x, y, z, iw, w; V3f niw; };
 
 // triangle strip of the reference patch (main.cpp:427-474), decoded to a
 // parity-normalized triangle list over the 1020-entry vertex list
@@ -434,12 +436,22 @@ static inline bool edge_accept(float e, float dx, float dy) {
     return e > 0.0f || (e == 0.0f && topleft);
 }
 
+// the reference's far plane (main.cpp:1075); the render-golden scenes
+// project with it and raster_tri far-clips against it in view space
+static const double kFarPlane = 20000000.0;
+// fragments rejected by the far-plane test in raster_tri — the farclip_
+// golden asserts the scene actually exercises the far clip
+static long g_farclip_rejects = 0;
+
 static int raster_tri(const RVert v[3], int width, int height,
                       int32_t *buf, long *frag_count) {
     // returns 1 iff the triangle survived cull (front-facing, nonempty
     // clamped bbox) and was scanned — the "live" notion the TPU record
     // kernels use
-    const float FS = -1.0f;   // GL_CW front in y-up = CCW in y-down screen
+    // GL_CW front in y-up window coords has POSITIVE shoelace area2 in
+    // y-down screen numbers (round 5 sign fix — spec derivation:
+    // planet_tpu/raster/coverage.py FRONT_SIGN comment)
+    const float FS = 1.0f;
     float area2 = ((v[1].x - v[0].x) * (v[2].y - v[0].y)
                    - (v[1].y - v[0].y) * (v[2].x - v[0].x)) * FS;
     if (!(area2 > 0.0f)) return 0;
@@ -457,6 +469,15 @@ static int raster_tri(const RVert v[3], int width, int height,
     if (px0 > px1 || py0 > py1) return 0;
 
     float inv_area = 1.0f / area2;
+    // GL far clip (round 5), in VIEW space — NDC z is sub-f32-ulp at
+    // far/near = 2e7 (spec: planet_tpu/raster/coverage.py module
+    // docstring): a triangle with a vertex at w > far clips fragments
+    // where interpolated 1/w < 1/far; fully-inside triangles keep GL's
+    // depth-clamp (a fragment rounding past z=1 clamps into the last
+    // quantum below, never discards).
+    bool farstraddle = v[0].w > (float)kFarPlane || v[1].w > (float)kFarPlane
+                       || v[2].w > (float)kFarPlane;
+    float ilim = farstraddle ? (float)(1.0 / kFarPlane) : -1.0f;
     const float lx = 0.0f;
     const float ly = (float)(1.0 / sqrt(2.0)), lz = -(float)(1.0 / sqrt(2.0));
     for (int py = py0; py <= py1; py++) {
@@ -473,7 +494,8 @@ static int raster_tri(const RVert v[3], int width, int height,
             float l0 = e[0] * inv_area, l1 = e[1] * inv_area, l2 = e[2] * inv_area;
             float z = l0 * v[0].z + l1 * v[1].z + l2 * v[2].z;
             float iw = l0 * v[0].iw + l1 * v[1].iw + l2 * v[2].iw;
-            if (!(iw > 0.0f) || z < -1.0f) continue;  // far side depth-clamps
+            if (!(iw > 0.0f) || z < -1.0f) continue;
+            if (!(iw > ilim)) { g_farclip_rejects++; continue; }
             V3f n = v[0].niw * l0 + v[1].niw * l1 + v[2].niw * l2;
             n.x /= iw; n.y /= iw; n.z /= iw;
             float nlen = lenf(n);
@@ -925,8 +947,12 @@ int main(int argc, char **argv) {
     //    draw). Scene 0 ("frame_"): the 20 km camera. Scene 1
     //    ("nearclip_"): camera 0.6 m above the terrain surface so
     //    triangles straddle the near plane (near=1.0, main.cpp:1074) and
-    //    the Sutherland-Hodgman clip path is exercised.
-    for (int scene = 0; scene < 2; scene++) {
+    //    the Sutherland-Hodgman clip path is exercised. Scene 2
+    //    ("farclip_"): camera at 16,000 km altitude pitched toward the
+    //    planet limb — the limb sits ~21,445 km away, beyond far=2e7
+    //    (main.cpp:1075), so a band of terrain crosses the far plane and
+    //    the z <= 1 fragment clip (round 5) is exercised.
+    for (int scene = 0; scene < 3; scene++) {
         const int W = 800, H = 600;
         const int dim = 32, n = 30, nverts = n * n + 4 * n;
 
@@ -941,7 +967,7 @@ int main(int argc, char **argv) {
             // golden exercises silhouette, background, the full depth range
             angles[0] = 0.35f; angles[1] = 0.3f; angles[2] = 0.0f;
             prefix = "frame_";
-        } else {
+        } else if (scene == 1) {
             V3d cdir = normalize(v3(0.4, 0.62, -0.3));
             double h = (double)terrain_height(cdir * kRadius, kMaxLod,
                                               kMaxLod);
@@ -952,6 +978,17 @@ int main(int argc, char **argv) {
             cam_pos = cdir * (kRadius + h + 0.5);
             angles[0] = 0.6f; angles[1] = 0.8f; angles[2] = 0.0f;
             prefix = "nearclip_";
+        } else {
+            // 16,000 km up, pitched 1.28 rad down: the planet limb (at
+            // asin(R/(R+h)) = 16.55 deg off nadir = 73.45 deg below the
+            // horizontal, distance sqrt((R+h)^2 - R^2) = 21,445 km) sits
+            // near the view axis with z_view > far = 2e7 — the terrain
+            // band beyond the far plane must CLIP to background, not
+            // depth-clamp into the last quantum
+            V3d cdir = normalize(v3(-0.3, 0.45, 0.7));
+            cam_pos = cdir * (kRadius + 16000000.0);
+            angles[0] = 1.28f; angles[1] = 0.15f; angles[2] = 0.0f;
+            prefix = "farclip_";
         }
 
         // world rotation: tangent base frame + Euler Y,X,Z (main.cpp:1039-1061)
@@ -1036,6 +1073,7 @@ int main(int argc, char **argv) {
 
         std::vector<int32_t> buf((size_t)W * H, kEmpty);
         long frag_count = 0, straddle_count = 0, clipped_drawn = 0;
+        g_farclip_rejects = 0;
         std::vector<RVert> rv(nverts);
         std::vector<char> rok(nverts);
         std::vector<VOut> vout(nverts);
@@ -1070,6 +1108,7 @@ int main(int argc, char **argv) {
                 rv[vi].y = snap16((0.5f - o.clip[1] * iw * 0.5f) * (float)H);
                 rv[vi].z = o.clip[2] * iw;
                 rv[vi].iw = iw;
+                rv[vi].w = w;
                 rv[vi].niw = o.normal * iw;
             }
             for (size_t ti = 0; ti + 3 <= tris.size(); ti += 3) {
@@ -1105,7 +1144,7 @@ int main(int argc, char **argv) {
                                     - cv[2].c[0] * cv[1].c[3])
                     + cv[0].c[3] * (cv[1].c[0] * cv[2].c[1]
                                     - cv[2].c[0] * cv[1].c[1]);
-                if (!(det3 > 0.0f)) continue;
+                if (!(det3 < 0.0f)) continue;
                 // lateral-frustum outcode: all three vertices outside the
                 // same linear clip plane (w±x, w±y >= 0) -> invisible
                 bool all_out = false;
@@ -1135,6 +1174,7 @@ int main(int argc, char **argv) {
                                         * (float)H);
                         v[k].z = poly[k].c[2] * iw;
                         v[k].iw = iw;
+                        v[k].w = w;
                         v[k].niw = poly[k].n * iw;
                     }
                     // count only scanned (front-facing, on-screen) clipped
@@ -1167,7 +1207,8 @@ int main(int argc, char **argv) {
         for (int r = 0; r < 3; r++) for (int c = 0; c < 3; c++) rot_flat.push_back(rot[r][c]);
         std::vector<int64_t> meta = {(int64_t)leaves.size(), covered,
                                      frag_count, straddle_count,
-                                     clipped_drawn};
+                                     clipped_drawn,
+                                     (int64_t)g_farclip_rejects};
 
         npy_f64(dir + prefix + "cam.npy", {3}, camv);
         npy_f32(dir + prefix + "angles.npy", {3}, angv);
@@ -1175,7 +1216,7 @@ int main(int argc, char **argv) {
         npy_f32(dir + prefix + "viewproj.npy", {4, 4}, vp_flat);
         npy_f32(dir + prefix + "image.npy", {(size_t)H, (size_t)W}, image);
         npy_f32(dir + prefix + "depth.npy", {(size_t)H, (size_t)W}, depthb);
-        npy_i64(dir + prefix + "meta.npy", {5}, meta);
+        npy_i64(dir + prefix + "meta.npy", {6}, meta);
     }
 
     printf("oracle: goldens written\n");

@@ -291,7 +291,7 @@ def build_device_render(cfg: EngineConfig, width: int, height: int, *,
             packed, rc = coverage_pallas.raster_frame_auto(
                 pv.clip, pv.normal, valid, width, height,
                 cell_mask=mesh.cell_triangle_mask(), decode=False,
-                **(raster_cfg or {}))
+                far_w=cfg.far_plane, **(raster_cfg or {}))
             pool = dp.end_frame(pool)
             overflowed = (ref.overflowed | overflow_render | (n_over > 0)
                           | rc.overflowed)
@@ -300,7 +300,8 @@ def build_device_render(cfg: EngineConfig, width: int, height: int, *,
         if cfg.raster_mode == "exact":
             image, depthbuf, rc = coverage_pallas.raster_frame_auto(
                 pv.clip, pv.normal, valid, width, height,
-                cell_mask=mesh.cell_triangle_mask(), **(raster_cfg or {}))
+                cell_mask=mesh.cell_triangle_mask(), far_w=cfg.far_plane,
+                **(raster_cfg or {}))
             overflow_render = overflow_render | rc.overflowed
         else:
             facing = jnp.sum(pv.world * pv.snormal, axis=-1) < 0.0
@@ -349,7 +350,7 @@ class DeviceRenderer:
             def raster(clip, vshade, normal, valid, world, snormal):
                 image, depthbuf, rc = coverage_pallas.raster_frame_auto(
                     clip, normal, valid, self.width, self.height,
-                    cell_mask=cmask, **(rcfg or {}))
+                    cell_mask=cmask, far_w=cfg.far_plane, **(rcfg or {}))
                 return image, depthbuf, rc.overflowed
         else:
             splat_fn = _raster_fn(self.width, self.height,

@@ -115,7 +115,8 @@ def _tess_shade_fn():
 
 @functools.lru_cache(maxsize=None)
 def _raster_fn(width: int, height: int, supersample: int, wireframe: bool,
-               mode: str = "splat", raster_cfg: tuple = None):
+               mode: str = "splat", raster_cfg: tuple = None,
+               far_w: float = None):
     # raster_cfg: hashable ((key, value), ...) capacity overrides for the
     # exact raster (lru_cache requires hashable args)
     raster_cfg = dict(raster_cfg) if raster_cfg else None
@@ -134,7 +135,7 @@ def _raster_fn(width: int, height: int, supersample: int, wireframe: bool,
         def fn(clip, vshade, normal, valid, world, snormal):
             image, depthbuf, _ = coverage_pallas.raster_frame_auto(
                 clip, normal, valid, width, height, cell_mask=cmask,
-                wireframe=wireframe, **(raster_cfg or {}))
+                wireframe=wireframe, far_w=far_w, **(raster_cfg or {}))
             return image, depthbuf
 
         return jax.jit(fn)
@@ -300,7 +301,8 @@ class PlanetEngine:
         row_ok = (np.arange(l_pad) < out.n_leaves)
         valid = jnp.asarray(row_ok[:, None, None] & grid_mask[None, :, :])
         image, depth = _raster_fn(width, height, c.raster_supersample,
-                                  self.wireframe, c.raster_mode)(
+                                  self.wireframe, c.raster_mode,
+                                  far_w=c.far_plane)(
             out.vertices.clip, out.vertex_shade, out.vertices.normal, valid,
             out.vertices.world, out.vertices.snormal)
         return out, image, depth

@@ -36,9 +36,7 @@ exactly GL's perspective-correct varyings — then shade
 sqrt(0.001 + max(0, n.l)) like the reference fragment program (the 1/w
 divide cancels inside the normalize, see _fragments).
 
-Documented parity deviations from the GL reference:
-* Far plane: no clipping — interpolated z > 1 depth-CLAMPS into the last
-  depth quantum (GL would clip the fragment).
+Documented parity deviations from the GL reference: none.
 
 Near plane: triangles straddling it (some vertex at w <= 1e-9, some part
 visible) are Sutherland-Hodgman clipped in clip space and the visible
@@ -46,6 +44,25 @@ parts drawn — GL's behavior (raster/nearclip.py; oracle-verified on a
 near-surface camera golden). Fully-projectable triangles keep the
 fragment-level z >= -1 near test, which produces GL's fragment set
 without geometric clipping.
+
+Far plane (round 5): triangles with a vertex beyond far REJECT their
+beyond-far fragments; fully-inside triangles keep depth-clamp (GL never
+clips them). Crucially both tests run in VIEW space, not NDC: with
+far/near = 2e7 (main.cpp:1074-1075) the entire NDC z budget past ~1e6 m
+sits within 1-2 f32 ulps of 1.0 — GL's own clip-space z_clip > w test is
+sub-ulp there and degenerates to rounding noise (as does any z > 1
+fragment test: it speckles whole-planet silhouettes). The clip w channel
+IS z_view for this projection (geom/camera.perspective_lh), so:
+* a triangle far-straddles iff some vertex has w > far (f32 resolution
+  ~2 m at 2e7 — crisp), and
+* its fragments reject where interpolated 1/w < 1/far (1/w interpolates
+  affinely in screen space — GL's own perspective-correct varying — with
+  ~2e-7 relative resolution at the boundary).
+Far-straddlers are routed to the huge/bbox kernel (the only fragment
+path that interpolates 1/w; they are rare — a planet-radius-scale camera
+altitude is needed at far=2e7). Pass far_w=None (the default) to disable
+far clipping entirely. Oracle-verified on a high-orbit golden where the
+planet limb crosses far (farclip_*).
 """
 
 from __future__ import annotations
@@ -63,10 +80,18 @@ _I32 = jnp.int32
 
 SNAP = np.float32(16.0)        # subpixel grid: 1/16 px
 INV_SNAP = np.float32(1.0 / 16.0)
-# GL front face is CW in y-UP window coords (main.cpp:814) = CCW in our
-# y-down screen space; with E = dx*(py-y0) - dy*(px-x0) a front triangle
-# has negative doubled area, so orientation-normalize by -1.
-FRONT_SIGN = np.float32(-1.0)
+# GL front face is CW in y-UP window coords (main.cpp:814). Worked
+# example (round 5 — the round-1 derivation got the sign wrong and drew
+# the planet's FAR side for four rounds, masked by the oracle mirroring
+# the same sign and by the depth test): a camera-facing triangle
+# A=(0,0) B=(0,1) C=(1,0) in y-up window coords has 2D cross
+# (B-A)x(C-A) = -1 < 0 = CW = GL front. In our y-DOWN screen numbers
+# those points are A=(0,0) B=(0,-1) C=(1,0) and the shoelace
+# area2 = (x1-x0)(y2-y0) - (y1-y0)(x2-x0) = +1 — POSITIVE. So front
+# triangles have positive area2 under this formula and the
+# orientation-normalizer is +1. (Equivalently, in clip coords front is
+# det3(x, y, w) < 0 — see nearclip.straddle_from_verts.)
+FRONT_SIGN = np.float32(1.0)
 _W_MIN = np.float32(1e-9)
 _LIGHT = np.array([0.0, 1.0, -1.0]) / np.sqrt(2.0)
 
@@ -121,14 +146,19 @@ class _Tris(NamedTuple):
     px1: jnp.ndarray      # (N,) i32 bbox max pixel (clamped)
     py1: jnp.ndarray
     live: jnp.ndarray     # (N,) bool
+    ilim: jnp.ndarray     # (N,) f32 fragment 1/w floor: -1 = no far clip,
+                          # +1/far for far-straddlers (iw < ilim rejects)
 
 
 def _setup(clip, normal, valid, width: int, height: int,
-           cell_mask=None) -> _Tris:
+           cell_mask=None, far_w=None) -> _Tris:
     """Project, snap, cull, and bbox the cell triangles of a batch of
     patches. clip (Q, G, G, 4), normal (Q, G, G, 3), valid (Q, G, G);
     cell_mask an optional static (2, G-1, G-1) bool of drawn triangles
-    (tess/mesh.cell_triangle_mask — the strip skips skirt-corner cells)."""
+    (tess/mesh.cell_triangle_mask — the strip skips skirt-corner cells).
+    far_w: view-space far-plane distance (the reference's far=2e7,
+    main.cpp:1075) — triangles with a vertex at w > far_w become
+    far-straddlers (ilim = 1/far_w); None disables far clipping."""
     w4 = clip[..., 3]
     ok_w = valid & (w4 > _W_MIN)
     inv_w = jnp.where(ok_w, 1.0 / jnp.where(ok_w, w4, 1.0), 0.0)
@@ -179,8 +209,15 @@ def _setup(clip, normal, valid, width: int, height: int,
 
     live = tri_ok & front & nonempty
     inv_area = jnp.where(live, 1.0 / jnp.where(live, area2, 1.0), 0.0)
+    if far_w is not None:
+        ws = jnp.stack(_tri_corners(w4, False), -1).reshape(-1, 3)
+        far = (ws > np.float32(far_w)).any(axis=-1)
+        ilim = jnp.where(far, np.float32(1.0 / far_w), np.float32(-1.0))
+    else:
+        ilim = jnp.full_like(inv_area, np.float32(-1.0))
     return _Tris(x=xs, y=ys, z=zs, iw=iws, niw=niws, inv_area=inv_area,
-                 px0=px0c, py0=py0c, px1=px1c, py1=py1c, live=live)
+                 px0=px0c, py0=py0c, px1=px1c, py1=py1c, live=live,
+                 ilim=ilim)
 
 
 def _fragments(t: _Tris, live, px, py, width: int, height: int,
@@ -279,14 +316,20 @@ def _fragments(t: _Tris, live, px, py, width: int, height: int,
 
     in_vp = ((px >= 0) & (px < width) & (py >= 0) & (py < height)
              & (px <= t.px1[..., None]) & (py <= t.py1[..., None]))
-    # depth-clamp semantics at the far plane: interpolated z can exceed 1 by
-    # f32 barycentric rounding (or genuinely, for geometry past far) — the
-    # quantizer clamps it; only fragments in front of the near plane reject
+    # depth-clamp semantics at the far plane for fully-inside triangles:
+    # interpolated z can exceed 1 by f32 barycentric rounding (sub-ulp at
+    # far/near = 2e7, see module docstring) — the quantizer clamps it;
+    # only fragments in front of the near plane reject here. Far clipping
+    # is the iw > ilim test below (far-straddlers always take an
+    # iw_test=True path — raster_frame/raster_frame_pallas route them to
+    # the huge class).
     ok = live[..., None] & inside & in_vp & (z >= -1.0)
     if iw_test:
         ciw = [t.iw[..., i, None] * ia for i in range(3)]
         iw = (e0 * ciw[0] + e1 * ciw[1]) + e2 * ciw[2]
-        ok = ok & (iw > 0.0)
+        # iw > ilim is the view-space far clip: ilim = 1/far for
+        # far-straddlers (iw < 1/far <=> w > far), -1 (vacuous) otherwise
+        ok = ok & (iw > 0.0) & (iw > t.ilim[..., None])
 
     # depth clamps to 2^21 - 2 (not -1): the all-ones packed word is the
     # _EMPTY sentinel, and a far-plane-clamped fully-lit fragment must not
@@ -337,7 +380,8 @@ def _pack_tris(t: _Tris):
             t.inv_area[:, None],                       # 22
             t.px0[:, None].astype(_F32), t.py0[:, None].astype(_F32),
             t.px1[:, None].astype(_F32), t.py1[:, None].astype(_F32),  # 26
-            t.live[:, None].astype(_F32)]              # 27
+            t.live[:, None].astype(_F32),              # 27
+            t.ilim[:, None]]                           # 28
     m = jnp.concatenate([c.astype(_F32) for c in cols], axis=1)
     m = jnp.pad(m, ((0, 1), (0, _REC_COLS - m.shape[1])))
     return m                                           # (n + 1, 32)
@@ -350,7 +394,8 @@ def _unpack_tris(m) -> _Tris:
         niw=m[:, 12:21].reshape(n, 3, 3), inv_area=m[:, 21],
         px0=m[:, 22].astype(_I32), py0=m[:, 23].astype(_I32),
         px1=m[:, 24].astype(_I32), py1=m[:, 25].astype(_I32),
-        live=m[:, 26] > 0.5)
+        live=m[:, 26] > 0.5,
+        ilim=m[:, 27])
 
 
 def _gather_packed(m, idxs):
@@ -373,13 +418,15 @@ def _pack_tris_t(t: _Tris):
             t.inv_area[None, :],                       # 22
             t.px0[None, :].astype(_F32), t.py0[None, :].astype(_F32),
             t.px1[None, :].astype(_F32), t.py1[None, :].astype(_F32),  # 26
-            t.live[None, :].astype(_F32)]              # 27
+            t.live[None, :].astype(_F32),              # 27
+            t.ilim[None, :]]                           # 28
     m = jnp.concatenate([r.astype(_F32) for r in rows], axis=0)
     m = jnp.pad(m, ((0, _REC_COLS - m.shape[0]), (0, 1)))
     return m                                           # (32, n + 1)
 
 
-def _setup_t(clip, normal, valid, width: int, height: int, cell_mask=None):
+def _setup_t(clip, normal, valid, width: int, height: int, cell_mask=None,
+             far_w=None):
     """Fused SoA twin of _setup + _pack_tris_t for the Pallas engine.
 
     _setup materializes (N, 3) / (N, 3, 3) per-triangle arrays whose tiny
@@ -393,8 +440,10 @@ def _setup_t(clip, normal, valid, width: int, height: int, cell_mask=None):
     opposite vertices 0/1/2 (FRONT_SIGN and bbox-min folded); 9-11 z and
     12-14 1/w barycentric coefficients, inv_area folded; 15-23 normal*1/w
     coefficients (vertex-major x,y,z), inv_area folded; 24-27 clamped
-    bbox (px0, py0, px1, py1); 28 live flag; 29-31 per-edge top-left
-    accept bias (+-1/512, see _fragments' one-compare fill rule).
+    bbox (px0, py0, px1, py1); 28 live * far-floor (0 dead / -1 live /
+    +1/far_w live far-straddler — see the row-28 comment below); 29-31
+    per-edge top-left accept bias (+-1/512, see _fragments' one-compare
+    fill rule).
 
     The candidate index space here is (parity, q, r, c) over the FULL
     G x G grid flattened to lane-major (Q, G*G) rows — cells in the last
@@ -502,6 +551,21 @@ def _setup_t(clip, normal, valid, width: int, height: int, cell_mask=None):
     dx1, dy1, c1, b1 = edge_consts(x2, y2, x0, y0)
     dx2, dy2, c2, b2 = edge_consts(x0, y0, x1, y1)
 
+    # row 28 is the live flag AND the fragment 1/w floor in one value:
+    # 0 = dead; -1 = live, no far clip; +1/far_w = live FAR-STRADDLER
+    # (some vertex at w > far_w; view-space far test — see the module
+    # docstring's precision analysis). Span kernels test < -0.5 for
+    # liveness (far-straddlers never reach them: raster_frame_pallas
+    # routes them to the huge class, the only path interpolating 1/w);
+    # the huge kernel tests != 0 for liveness and iw > row28 for the far
+    # clip (vacuous at -1). No extra record row needed.
+    if far_w is not None:
+        wv0, wv1, wv2 = tri3(w4)
+        far_straddle = ((wv0 > _F32(far_w)) | (wv1 > _F32(far_w))
+                        | (wv2 > _F32(far_w)))
+        ilim = jnp.where(far_straddle, _F32(1.0 / far_w), _F32(-1.0))
+    else:
+        ilim = _F32(-1.0)
     rows = [dx0, dy0, c0, dx1, dy1, c1, dx2, dy2, c2,
             z0 * inv_area, z1 * inv_area, z2 * inv_area,
             w0 * inv_area, w1 * inv_area, w2 * inv_area,
@@ -510,7 +574,7 @@ def _setup_t(clip, normal, valid, width: int, height: int, cell_mask=None):
             nx2 * inv_area, ny2 * inv_area, nz2 * inv_area,
             px0c.astype(_F32), py0c.astype(_F32),
             px1c.astype(_F32), py1c.astype(_F32),
-            live.astype(_F32),
+            live.astype(_F32) * ilim,
             b0, b1, b2]
     rows += [jnp.zeros_like(dx0)] * (_REC_COLS - len(rows))
     # no pad column: _gather_packed_t masks out-of-range indices to zero
@@ -691,7 +755,8 @@ def raster_frame(clip, normal, valid, width: int, height: int, *,
                  max_bh: int = MAX_BH, huge_cap: int = 16,
                  background: float = 0.0, cell_mask=None,
                  decode: bool = True, wireframe: bool = False,
-                 clip_cap: int = 512, clip_run_cap: int = 64):
+                 clip_cap: int = 512, clip_run_cap: int = 64,
+                 far_w=None):
     """Rasterize a batch of tessellated patches with exact triangle coverage.
 
     Args:
@@ -702,13 +767,15 @@ def raster_frame(clip, normal, valid, width: int, height: int, *,
     Returns (image (H, W) f32, depth (H, W) f32 NDC z with +inf empties,
     RasterCounters); with decode=False, (packed (H, W) i32, RasterCounters).
     """
-    t = _setup(clip, normal, valid, width, height, cell_mask)
+    t = _setup(clip, normal, valid, width, height, cell_mask, far_w=far_w)
     bw = t.px1 - t.px0 + 1
     bh = t.py1 - t.py0 + 1
     max_w = ladder[-1][0]
 
-    # triangles small enough for row jobs; the rest take the full-screen pass
-    eligible = t.live & (bh <= max_bh) & (bw <= max_w)
+    # triangles small enough for row jobs; the rest take the full-screen
+    # pass. Far-straddlers (ilim > 0) always take the full-screen pass:
+    # it is the path that interpolates 1/w for the view-space far clip.
+    eligible = t.live & (bh <= max_bh) & (bw <= max_w) & ~(t.ilim > 0.0)
     tm = _pack_tris(t)
     tri_idx, n_live = _compact_indices(eligible, tri_cap)
     tt_m = _gather_packed(tm, tri_idx)
@@ -772,7 +839,8 @@ def raster_frame(clip, normal, valid, width: int, height: int, *,
 
     def _clipped(b):
         s_idx, _ = _compact_indices(smask, clip_cap)
-        tclip = nearclip.clipped_tris(clip, normal, s_idx, width, height)
+        tclip = nearclip.clipped_tris(clip, normal, s_idx, width, height,
+                                      far_w=far_w)
         lidx, n_live_clip = _compact_indices(tclip.live, clip_run_cap)
         keep = lidx < tclip.live.shape[0]
         sel = jnp.minimum(lidx, tclip.live.shape[0] - 1)

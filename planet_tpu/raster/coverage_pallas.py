@@ -82,35 +82,58 @@ def _raster_class_kernel(winh: int, width_pad: int, wireframe: bool,
     compare, so they min-merge _EMPTY over window (0, 0): a no-op). The
     straight-line TRI_BLOCK body lets Mosaic overlap record t+1's scalar
     setup with record t's vector window (the small classes were measured
-    scalar/branch-bound at ~4x the big classes' per-row cost)."""
+    scalar/branch-bound at ~4x the big classes' per-row cost).
+
+    There is also no per-record WIDTH branch on the common path: the class
+    sort places records by min(n_extra, 2) — narrow (bbox inside one
+    128-lane block, ~85-90% at 1080p), then exactly-two-block, then wider
+    — so homogeneous blocks run straight-line bodies: a per-record
+    `pl.when(n_extra > 0)` around the extra-block fori was measured to
+    cost ~56 ns on EVERY record, branch taken or not (2.7x the whole
+    narrow body; tools/microbench_span4.py), because it fences Mosaic's
+    cross-record software pipelining. The two-block body is also straight-
+    line (second window statically emitted, offset clamped so a narrow
+    record in the one mixed boundary block degenerates to an idempotent
+    duplicate min-merge); only blocks containing a 3+-block record (rare
+    grazing silhouettes) pay the branchy fori body."""
 
     @pl.when(pl.program_id(0) == 0)
     def _seed():
         fb_ref[:, :] = fb_in_ref[:, :]
 
     # skip fully-dead record blocks (oversized caps cost ~nothing);
-    # scalar reads so the records block can live in SMEM
-    any_live = rec_ref[0, 28] > 0.5
+    # scalar reads so the records block can live in SMEM. Span-class
+    # records carry live = -1 in row 28 (0 dead; far-straddlers, the only
+    # positive values, never reach the span classes — coverage._setup_t)
+    any_live = rec_ref[0, 28] < -0.5
+    any_wide = rec_ref[0, 14] > 0.5
+    any_wide2 = rec_ref[0, 14] > 1.5
     for t in range(1, TRI_BLOCK):
-        any_live = any_live | (rec_ref[t, 28] > 0.5)
+        any_live = any_live | (rec_ref[t, 28] < -0.5)
+        any_wide = any_wide | (rec_ref[t, 14] > 0.5)
+        any_wide2 = any_wide2 | (rec_ref[t, 14] > 1.5)
 
     # static iotas shared by every triangle in the block (integer iota +
     # cast: Mosaic has no f32 iota)
     rowf = jax.lax.broadcasted_iota(_I32, (winh, WIN_W), 0).astype(_F32)
     colf = jax.lax.broadcasted_iota(_I32, (winh, WIN_W), 1).astype(_F32)
 
-    def _block():
+    def _block(mode):
         # static unroll: dynamic-t fori_loop variants measurably lose
         # Mosaic's cross-record static scheduling (measured +18% kernel)
-        for t in range(TRI_BLOCK):
-            _one_triangle(winh, wireframe, rec_ref, fb_ref, t,
-                          rowf, colf)
+        def f():
+            for t in range(TRI_BLOCK):
+                _one_triangle(winh, width_pad, wireframe, rec_ref, fb_ref,
+                              t, rowf, colf, mode=mode)
+        return f
 
-    pl.when(any_live)(_block)
+    pl.when(any_live & ~any_wide)(_block("narrow"))
+    pl.when(any_live & any_wide & ~any_wide2)(_block("two"))
+    pl.when(any_live & any_wide2)(_block("general"))
 
 
-def _one_triangle(winh: int, wireframe: bool, rec_ref, fb_ref, t,
-                  rowf, colf):
+def _one_triangle(winh: int, width_pad: int, wireframe: bool, rec_ref,
+                  fb_ref, t, rowf, colf, mode: str = "general"):
     """Rasterize record t into its bbox's aligned (winh, 128) window(s).
 
     All per-triangle invariants arrive PRECOMPUTED in the record: edge
@@ -142,8 +165,10 @@ def _one_triangle(winh: int, wireframe: bool, rec_ref, fb_ref, t,
     # prove the dynamic framebuffer slice offsets are tile-aligned (a raw
     # precomputed offset crashes its vector.load lowering)
     py0c = rec_ref[t, 12].astype(_I32) * 8
-    px0a = rec_ref[t, 13].astype(_I32) * 128
-    n_extra = rec_ref[t, 14].astype(_I32)   # column blocks beyond the first
+    px0b = rec_ref[t, 13].astype(_I32)
+    px0a = px0b * 128
+    if mode == "general":
+        n_extra = rec_ref[t, 14].astype(_I32)  # column blocks past the 1st
     px0r = rec_ref[t, 24]
     px1r = rec_ref[t, 25]
     py0r = rec_ref[t, 26]
@@ -199,6 +224,9 @@ def _one_triangle(winh: int, wireframe: bool, rec_ref, fb_ref, t,
         shade = jnp.sqrt(f(0.001) + jnp.maximum(f(0.0), ndl))
 
         in_box = (cf >= px0r) & (cf <= px1r) & rowok
+        # near fragment test only: far-straddlers never reach the span
+        # classes (routed to the huge kernel, which interpolates the 1/w
+        # the view-space far clip needs — coverage module docstring)
         ok = inside & in_box & (z >= f(-1.0))
 
         # lower clamps dropped (accepted z >= -1 and shade > 0; rejected
@@ -214,6 +242,21 @@ def _one_triangle(winh: int, wireframe: bool, rec_ref, fb_ref, t,
             jnp.minimum(old, packed)
 
     window(colf, px0a)
+    if mode == "narrow":
+        return
+    if mode == "two":
+        # second window, straight-line: clamp keeps a narrow record in the
+        # mixed boundary block in bounds (its second window duplicates the
+        # first — fragments recompute bit-identically and the min-merge is
+        # idempotent; true two-block records never clamp, their px1 block
+        # is a valid window start by construction). Clamp the BLOCK index
+        # and multiply after: Mosaic must statically prove the framebuffer
+        # slice offset is 128-aligned, and min() of raw offsets breaks
+        # that proof.
+        blk2 = jnp.minimum(px0b + 1, width_pad // 128 - 1)
+        px0a2 = blk2 * 128
+        window(colf + (px0a2 - px0a).astype(_F32), px0a2)
+        return
 
     @pl.when(n_extra > 0)
     def _more_blocks():
@@ -241,9 +284,10 @@ def _huge_class_kernel(width_pad: int, height_pad: int, wireframe: bool,
     def _seed():
         fb_ref[:, :] = fb_in_ref[:, :]
 
-    any_live = rec_ref[0, 28] > 0.5
+    # row 28: 0 dead, -1 live, +1/far_w live far-straddler
+    any_live = rec_ref[0, 28] != 0.0
     for t in range(1, HUGE_BLOCK):
-        any_live = any_live | (rec_ref[t, 28] > 0.5)
+        any_live = any_live | (rec_ref[t, 28] != 0.0)
 
     def _block():
         for t in range(HUGE_BLOCK):
@@ -254,7 +298,10 @@ def _huge_class_kernel(width_pad: int, height_pad: int, wireframe: bool,
 
 def _one_huge(height_pad: int, wireframe: bool, rec_ref, fb_ref, t):
     f = _F32
-    live = rec_ref[t, 28] > 0.5
+    # row 28: 0 dead, -1 live, +1/far_w live far-straddler (view-space
+    # far clip via interpolated 1/w — coverage._setup_t row-28 comment)
+    ilim = rec_ref[t, 28]
+    live = ilim != f(0.0)
     px0 = rec_ref[t, 24].astype(_I32)
     py0 = rec_ref[t, 25].astype(_I32)
     px1 = rec_ref[t, 26].astype(_I32)
@@ -315,7 +362,10 @@ def _one_huge(height_pad: int, wireframe: bool, rec_ref, fb_ref, t):
         # huge triangles evaluate edges OUTSIDE the exact coverage domain,
         # so the spec's interpolated-1/w positivity test stays (see
         # coverage._fragments' iw_test note)
-        ok = inside & in_box & (z >= f(-1.0)) & (iw > f(0.0))
+        # iw > ilim is the view-space far clip (ilim = 1/far for
+        # far-straddlers, -1 = vacuous otherwise)
+        ok = (inside & in_box & (z >= f(-1.0)) & (iw > f(0.0))
+              & (iw > ilim))
 
         zq = jnp.minimum((z * f(0.5) + f(0.5)) * f(2**_DEPTH_BITS - 1),
                          f(2**_DEPTH_BITS - 2)).astype(_I32)
@@ -493,7 +543,7 @@ def raster_frame_auto(clip, normal, valid, width: int, height: int, *,
                                    background=background, decode=decode,
                                    wireframe=wireframe, **kw)
     xla_kw = {k: v for k, v in kw.items()
-              if k in ("huge_cap", "clip_cap", "clip_run_cap")}
+              if k in ("huge_cap", "clip_cap", "clip_run_cap", "far_w")}
     return cov.raster_frame(clip, normal, valid, width, height,
                             cell_mask=cell_mask, background=background,
                             decode=decode, wireframe=wireframe, **xla_kw)
@@ -506,7 +556,7 @@ def raster_frame_pallas(clip, normal, valid, width: int, height: int, *,
                         cell_mask=None, interpret: bool = False,
                         decode: bool = True, wireframe: bool = False,
                         quad_cap: int = 128, clip_cap: int = 512,
-                        clip_run_cap: int = 64):
+                        clip_run_cap: int = 64, far_w=None):
     """Drop-in twin of coverage.raster_frame running the fragment path as
     Pallas window kernels. Returns (image, depth, RasterCounters), or
     (packed, counters) when decode=False.
@@ -540,25 +590,37 @@ def raster_frame_pallas(clip, normal, valid, width: int, height: int, *,
     # barrier materializes the matrix ONCE; without it XLA fuses the
     # construction into every class's gather.
     tm, live, bw, bh, span = cov._setup_t(clip, normal, valid, width,
-                                          height, cell_mask)
+                                          height, cell_mask, far_w=far_w)
     tm = jax.lax.optimization_barrier(tm)
     # any width is eligible (the class kernel fori-loops over the bbox's
-    # 128-lane column blocks); only span (bbox row blocks) picks the class
-    eligible = live & (span <= SPAN_CLASSES[-1])
+    # 128-lane column blocks); only span (bbox row blocks) picks the
+    # class. Far-straddlers (row 28 > 0) route to the huge kernel — the
+    # only fragment path interpolating the 1/w the view-space far clip
+    # needs (coverage module docstring).
+    eligible = live & (span <= SPAN_CLASSES[-1]) & ~(tm[28] > 0.0)
 
     width_pad = -(-max(width, WIN_W) // 128) * 128
     height_pad = -(-max(height, 8 * SPAN_CLASSES[-1]) // 8) * 8
     fb = jnp.full((height_pad, width_pad), _EMPTY, jnp.int32)
 
-    # ONE keyed sort compacts every class at once: key = class*(n+1)+pos,
-    # ascending sort groups classes contiguously in original order; each
-    # class then slices its segment at the running-count offset and
-    # masks strays (class id check) to the pad row. This replaces six
-    # separate sort-compactions and an intermediate 131k-row gather
-    # (~10 ms of the frame on TPU).
+    # ONE keyed sort compacts every class at once: key =
+    # (3*class + min(n_extra, 2))*(n+1) + pos, ascending sort groups
+    # classes contiguously in original order, sub-ordered narrow / two-
+    # block / wider — homogeneous record blocks then take the class
+    # kernels' branch-free straight-line bodies (the per-record width
+    # branch cost ~56 ns/record, see _raster_class_kernel). Each class
+    # slices its segment at the running-count offset and masks strays
+    # (class id check) to the pad row. This replaces six separate
+    # sort-compactions and an intermediate 131k-row gather (~10 ms of the
+    # frame on TPU).
     n = live.shape[0]
     stride = jnp.int32(n + 1)
+    stride3 = jnp.int32(3 * (n + 1))
     pos = jnp.arange(n, dtype=_I32)
+    # tm rows 24/26 are the clamped bbox px0/px1 (exact small ints in f32)
+    nblk = (jnp.floor(tm[26] * _F32(1.0 / 128.0))
+            - jnp.floor(tm[24] * _F32(1.0 / 128.0))).astype(_I32)
+    sub = jnp.minimum(nblk, 2)
     # class ids: 0..len(SPAN_CLASSES)-1 span ladder, then huge, then
     # near-plane straddlers (disjoint from live — they fail tri_ok), dead
     cid_straddle = len(SPAN_CLASSES) + 1
@@ -571,19 +633,19 @@ def raster_frame_pallas(clip, normal, valid, width: int, height: int, *,
     for c in reversed(range(len(SPAN_CLASSES))):
         class_id = jnp.where(eligible & (span <= SPAN_CLASSES[c]),
                              jnp.int32(c), class_id)
-    sorted_keys = jax.lax.sort(class_id * stride + pos)
+    sorted_keys = jax.lax.sort(class_id * stride3 + sub * stride + pos)
     # pad with dead keys so fixed-size class slices exist even when the
     # scene has fewer triangles than a class cap
     pad_len = max(max(caps), huge_cap, clip_cap)
     sorted_keys = jnp.pad(sorted_keys, (0, pad_len),
-                          constant_values=cid_dead * (n + 1))
+                          constant_values=cid_dead * 3 * (n + 1))
 
     counts = [jnp.sum((class_id == c).astype(_I32))
               for c in range(len(SPAN_CLASSES) + 2)]
 
     def _segment(c, off, cap):
         seg = jax.lax.dynamic_slice(sorted_keys, (off,), (cap,))
-        return jnp.where(seg // stride == c, seg % stride, jnp.int32(n))
+        return jnp.where(seg // stride3 == c, seg % stride, jnp.int32(n))
 
     n_per_class = []
     overflowed = jnp.bool_(False)
@@ -627,7 +689,8 @@ def raster_frame_pallas(clip, normal, valid, width: int, height: int, *,
 
     def _run_clipped(b):
         s_idx = _segment(cid_straddle, off, clip_cap)
-        tclip = nearclip.clipped_tris(clip, normal, s_idx, width, height)
+        tclip = nearclip.clipped_tris(clip, normal, s_idx, width, height,
+                                      far_w=far_w)
         lidx, n_live_clip = cov._compact_indices(tclip.live, clip_run_cap)
         keep = lidx < tclip.live.shape[0]
         sel = jnp.minimum(lidx, tclip.live.shape[0] - 1)

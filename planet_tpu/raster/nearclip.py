@@ -88,7 +88,7 @@ def straddle_from_verts(v3, wl3, f3, x3, y3, w3):
                | ((w0 - y0 < 0.0) & (w1 - y1 < 0.0) & (w2 - y2 < 0.0))
                | ((w0 + y0 < 0.0) & (w1 + y1 < 0.0) & (w2 + y2 < 0.0)))
     return ((v0 & v1 & v2) & (wl0 | wl1 | wl2) & (f0 | f1 | f2)
-            & (det3 > 0.0) & ~all_out)
+            & (det3 < 0.0) & ~all_out)
 
 
 def straddle_mask_t(clip, valid, cell_mask=None):
@@ -98,10 +98,12 @@ def straddle_mask_t(clip, valid, cell_mask=None):
     A straddler: all three vertices valid, at least one at w <= _W_MIN
     (screen projection breaks), at least one with f = z + w > 0 (something
     beyond the near plane), FRONT-FACING by the homogeneous test
-    det3(x, y, w) > 0 — the screen-winding sign is w-product-dependent and
+    det3(x, y, w) < 0 — the screen-winding sign is w-product-dependent and
     meaningless with mixed w signs, but det3's sign is invariant under
     near-plane clipping, and for all-w-positive triangles it equals the
-    raster's orientation test (front iff area2 * FRONT_SIGN > 0) — and not
+    raster's orientation test (front iff area2 * FRONT_SIGN > 0; the
+    y-down screen flip makes screen area2 proportional to
+    -det3/(w0*w1*w2), so front = negative det3) — and not
     provably outside a lateral frustum plane: the visible region is the
     intersection of the linear half-spaces w±x >= 0, w±y >= 0 in clip
     space (valid for any w sign — GL's own clip volume), so a triangle
@@ -206,9 +208,12 @@ def clip_expand(vc, vn, live):
     return cvc, cvn, clive
 
 
-def setup_tris(vc, vn, live, width: int, height: int) -> "cov._Tris":
+def setup_tris(vc, vn, live, width: int, height: int,
+               far_w=None) -> "cov._Tris":
     """Project clipped triangles with coverage._setup's exact op sequence
-    (snap, winding, bbox) and return a coverage._Tris for the huge pass."""
+    (snap, winding, bbox) and return a coverage._Tris for the huge pass.
+    far_w: view-space far distance — a clipped part can still cross the
+    FAR plane; same vertex w > far_w straddle rule as coverage._setup."""
     w = vc[..., 3]                                   # (K, 3)
     okw = live[:, None] & (w > cov._W_MIN)
     inv_w = jnp.where(okw, 1.0 / jnp.where(okw, w, 1.0), 0.0)
@@ -238,8 +243,14 @@ def setup_tris(vc, vn, live, width: int, height: int) -> "cov._Tris":
     out_live = tri_ok & front & nonempty
     inv_area = jnp.where(out_live, 1.0 / jnp.where(out_live, area2, 1.0),
                          0.0)
+    if far_w is not None:
+        far = (w > np.float32(far_w)).any(axis=1)
+        ilim = jnp.where(far, np.float32(1.0 / far_w), np.float32(-1.0))
+    else:
+        ilim = jnp.full_like(inv_area, np.float32(-1.0))
     return cov._Tris(x=sx, y=sy, z=z, iw=inv_w, niw=niw, inv_area=inv_area,
-                     px0=px0, py0=py0, px1=px1, py1=py1, live=out_live)
+                     px0=px0, py0=py0, px1=px1, py1=py1, live=out_live,
+                     ilim=ilim)
 
 
 def records_from_tris(t: "cov._Tris"):
@@ -271,11 +282,15 @@ def records_from_tris(t: "cov._Tris"):
             t.niw[:, 2, 0] * ia, t.niw[:, 2, 1] * ia, t.niw[:, 2, 2] * ia,
             t.px0.astype(_F32), t.py0.astype(_F32),
             t.px1.astype(_F32), t.py1.astype(_F32),
-            t.live.astype(_F32), b0, b1, b2]
+            # live * far-floor (coverage._setup_t row 28: 0 dead, -1 live,
+            # +1/far_w far-straddler — a clipped part can still cross FAR)
+            t.live.astype(_F32) * t.ilim,
+            b0, b1, b2]
     return jnp.stack([r.astype(_F32) for r in rows], axis=1)
 
 
-def clipped_tris(clip, normal, idx, width: int, height: int) -> "cov._Tris":
+def clipped_tris(clip, normal, idx, width: int, height: int,
+                 far_w=None) -> "cov._Tris":
     """Straddler indices -> projected clipped-triangle _Tris (2K rows).
 
     The one-stop helper both raster backends share: gather vertices,
@@ -283,4 +298,4 @@ def clipped_tris(clip, normal, idx, width: int, height: int) -> "cov._Tris":
     order; dead lanes (idx >= N) come back live=False."""
     vc, vn, ok = gather_tri_verts_t(clip, normal, idx)
     cvc, cvn, clive = clip_expand(vc, vn, ok)
-    return setup_tris(cvc, cvn, clive, width, height)
+    return setup_tris(cvc, cvn, clive, width, height, far_w=far_w)

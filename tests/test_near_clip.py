@@ -32,8 +32,9 @@ def _floor_scene(g=8, w=64, h=64):
     z_rows = np.linspace(-2.0, 40.0, g)                 # eye z per row
     zs = np.broadcast_to(z_rows[:, None], (g, g)).copy()
     # x spreads with z so the plane fills the viewport horizontally
-    # (descending so the cell winding is front-facing under FRONT_SIGN)
-    xcol = np.linspace(1.2, -1.2, g)
+    # (ascending so the cell winding is front-facing under FRONT_SIGN —
+    # flipped with the round-5 winding-sign fix)
+    xcol = np.linspace(-1.2, 1.2, g)
     xs = (xcol[None, :] * np.maximum(np.abs(zs), 0.3)).astype(np.float32)
     # a floor below the camera: y_clip = y_eye * proj; keep it simple with
     # y_eye = -1.5 (slightly below), scaled by proj factor 1
@@ -109,7 +110,8 @@ def test_no_straddlers_zero_cost_path_unchanged():
     g = 8
     zs = np.linspace(5.0, 40.0, g)
     zs = np.broadcast_to(zs[:, None], (g, g)).astype(np.float32)
-    xs = (np.linspace(1.0, -1.0, g)[None, :]
+    # ascending x: front-facing under FRONT_SIGN (round-5 winding fix)
+    xs = (np.linspace(-1.0, 1.0, g)[None, :]
           * np.maximum(np.abs(zs), 0.3)).astype(np.float32)
     ys = np.full((g, g), -1.5, np.float32)
     clip = _grid_patch(zs, xs, ys)

@@ -35,7 +35,8 @@ def ref_raster(tris, width, height):
         x = [F(v["x"]) for v in t]
         y = [F(v["y"]) for v in t]
         area2 = F((F(x[1] - x[0]) * F(y[2] - y[0])
-                   - F(y[1] - y[0]) * F(x[2] - x[0])) * F(-1.0))
+                   - F(y[1] - y[0]) * F(x[2] - x[0]))
+                  * coverage.FRONT_SIGN)
         if not area2 > 0:
             continue
         px0 = max(0, int(np.ceil(min(x) - 0.5)))
@@ -45,11 +46,12 @@ def ref_raster(tris, width, height):
 
         def edge(a, b, pcx, pcy):
             return F((F(x[b] - x[a]) * F(pcy - y[a])
-                      - F(y[b] - y[a]) * F(pcx - x[a])) * F(-1.0))
+                      - F(y[b] - y[a]) * F(pcx - x[a]))
+                     * coverage.FRONT_SIGN)
 
         def accept(e, a, b):
-            dx = F(F(x[b] - x[a]) * F(-1.0))
-            dy = F(F(y[b] - y[a]) * F(-1.0))
+            dx = F(F(x[b] - x[a]) * coverage.FRONT_SIGN)
+            dy = F(F(y[b] - y[a]) * coverage.FRONT_SIGN)
             tl = (dy < 0) or (dy == 0 and dx > 0)
             return e > 0 or (e == 0 and tl)
 
@@ -169,8 +171,9 @@ def test_shared_edge_partition():
             return {"x": snap(pt[0]), "y": snap(pt[1]), "z": F(0.0),
                     "iw": F(1.0), "n": np.array([0, 1, 0], F)}
 
-        t0 = [vert(p00, 0), vert(p10, 1), vert(p01, 2)]
-        t1 = [vert(p01, 2), vert(p10, 1), vert(p11, 3)]
+        # windings front-facing under FRONT_SIGN (round-5 sign fix)
+        t0 = [vert(p00, 0), vert(p01, 2), vert(p10, 1)]
+        t1 = [vert(p01, 2), vert(p11, 3), vert(p10, 1)]
         cover = np.zeros((height, width), np.int32)
         for t in (t0, t1):
             one = ref_raster([t], width, height)
@@ -229,7 +232,7 @@ def test_huge_class_full_screen():
 
     # one triangle covering most of the screen (bbox > 128 requires a
     # bigger viewport; shrink the huge threshold indirectly by viewport)
-    t = [vert(-200, -200), vert(-200, 500), vert(500, -200)]
+    t = [vert(-200, -200), vert(500, -200), vert(-200, 500)]
     img, depth, counters = run_device([t], 200, 150)
     ref = ref_raster([t], 200, 150)
     assert int(counters.n_huge) == 1
@@ -402,9 +405,9 @@ def test_wireframe_exact_raster_edges_only():
     nrm = np.array([0.0, 0.6, -0.8], F)          # lit
     tri = [{"x": F(20.25), "y": F(20.25), "z": F(0.0), "iw": F(1.0),
             "n": nrm},
-           {"x": F(20.25), "y": F(70.25), "z": F(0.0), "iw": F(1.0),
-            "n": nrm},
            {"x": F(70.25), "y": F(20.25), "z": F(0.0), "iw": F(1.0),
+            "n": nrm},
+           {"x": F(20.25), "y": F(70.25), "z": F(0.0), "iw": F(1.0),
             "n": nrm}]
     args = _tris_to_args([tri], width, height)
     s_img, s_dep, _ = coverage.raster_frame(*args, width, height)

@@ -55,7 +55,7 @@ def make_records(k, winh, bw=14, bh=None, frac_extra=0.0, cap=None):
     m[:k, 25] = bw
     m[:k, 26] = 0.0
     m[:k, 27] = bh - 1
-    m[:k, 28] = 1.0
+    m[:k, 28] = -1.0   # live, no far clip (row-28 encoding, round 5)
     return jnp.asarray(m)
 
 

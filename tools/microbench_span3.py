@@ -36,9 +36,9 @@ def kernel(winh, tri_block, body, rec_ref, fb_in_ref, fb_ref):
     def _seed():
         fb_ref[:, :] = fb_in_ref[:, :]
 
-    any_live = rec_ref[0, 28] > 0.5
+    any_live = rec_ref[0, 28] < -0.5
     for t in range(1, tri_block):
-        any_live = any_live | (rec_ref[t, 28] > 0.5)
+        any_live = any_live | (rec_ref[t, 28] < -0.5)
 
     rowf = jax.lax.broadcasted_iota(_I32, (winh, 128), 0).astype(_F32)
     colf = jax.lax.broadcasted_iota(_I32, (winh, 128), 1).astype(_F32)
