@@ -51,6 +51,7 @@ class DeviceFrame(NamedTuple):
     n_leaves: jnp.ndarray     # () i32
     n_generated: jnp.ndarray  # () i32
     overflowed: jnp.ndarray   # () bool
+    preview: jnp.ndarray = None   # (H//k, W//k) u8 when preview=k > 1
 
 
 def _roots_static(radius: float):
@@ -331,14 +332,17 @@ class DeviceRenderer:
     """
 
     def __init__(self, cfg: EngineConfig, width: int, height: int, *,
-                 fetch: str = "f32", **kw):
+                 fetch: str = "f32", preview: int = 1, **kw):
         from planet_tpu.engine.planet import _raster_fn
         from planet_tpu.raster import coverage_pallas
         if fetch not in ("f32", "u8"):
             raise ValueError(fetch)
+        if preview > 1 and fetch != "u8":
+            raise ValueError("preview requires fetch='u8'")
         self.cfg = cfg
         self.width, self.height = int(width), int(height)
         self.fetch = fetch
+        self.preview = int(preview)
         self._geom = build_device_render(cfg, self.width, self.height,
                                          stop_after="geometry", **kw)
         rcfg = kw.get("raster_cfg")
@@ -367,14 +371,29 @@ class DeviceRenderer:
             # 4x smaller (1080p: 8.3 MB f32 -> 2.07 MB) and the PNG bytes
             # are bit-identical. The depth buffer stays f32 but is lazy —
             # only fetched if the caller touches frame.depth.
+            # preview=k additionally returns a k x k-subsampled u8 preview
+            # (VERDICT r4 #5): the interactive display fetches ~k^2 x
+            # fewer bytes through the tunnel each frame while the full-res
+            # u8 image stays on device, lazily fetched only on PNG dump —
+            # the PNG path stays bit-exact.
             base_raster = raster
+            pk = self.preview
 
             def raster(clip, vshade, normal, valid, world, snormal):
                 image, depthbuf, ovf = base_raster(clip, vshade, normal,
                                                    valid, world, snormal)
                 u8 = (jnp.clip(image, 0.0, 1.0) * np.float32(255.0)
                       + np.float32(0.5)).astype(jnp.uint8)
-                return u8, depthbuf, ovf
+                prev = u8[::pk, ::pk] if pk > 1 else None
+                return u8, depthbuf, ovf, prev
+        else:
+            base_raster2 = raster
+
+            def raster(clip, vshade, normal, valid, world, snormal,
+                       _b=base_raster2):
+                image, depthbuf, ovf = _b(clip, vshade, normal, valid,
+                                          world, snormal)
+                return image, depthbuf, ovf, None
 
         self._raster = jax.jit(raster)
 
@@ -384,12 +403,13 @@ class DeviceRenderer:
     def render(self, pool, cam_hi, cam_lo, view_proj):
         pool, (pv, vshade, valid, meta) = self._geom(pool, cam_hi, cam_lo,
                                                      view_proj)
-        image, depthbuf, r_ovf = self._raster(pv.clip, vshade, pv.normal,
-                                              valid, pv.world, pv.snormal)
+        image, depthbuf, r_ovf, prev = self._raster(
+            pv.clip, vshade, pv.normal, valid, pv.world, pv.snormal)
         n, n_gen, overflowed = meta
         return pool, DeviceFrame(image=image, depth=depthbuf, n_leaves=n,
                                  n_generated=n_gen,
-                                 overflowed=overflowed | r_ovf)
+                                 overflowed=overflowed | r_ovf,
+                                 preview=prev)
 
 
 class PipelinedRenderer:
@@ -427,11 +447,13 @@ class PipelinedRenderer:
         prev, self._pending = self._pending, frame
         if prev is None:
             return None
-        return np.asarray(prev.image), prev
+        return np.asarray(prev.preview if prev.preview is not None
+                          else prev.image), prev
 
     def flush(self):
         """Drain the last in-flight frame."""
         prev, self._pending = self._pending, None
         if prev is None:
             return None
-        return np.asarray(prev.image), prev
+        return np.asarray(prev.preview if prev.preview is not None
+                          else prev.image), prev

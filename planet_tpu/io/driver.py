@@ -42,6 +42,102 @@ frame renders and its stats print; reference key map main.cpp:947-1000):
 """
 
 
+class DeviceInteractiveEngine:
+    """run_interactive-compatible engine over the fully-fused device path
+    (DeviceRenderer, fetch='u8', k x k-subsampled preview).
+
+    The host-path PlanetEngine synchronizes per frame and fetches the full
+    image; through the axon tunnel the u8 1080p fetch alone floors at
+    ~90 ms (docs/RESULTS_r4.md "Interactive fetch floor"). Here the
+    per-frame display payload is the on-device-subsampled preview
+    (preview=2 at 1080p: 0.52 MB, ~4x less tunnel time) while the
+    full-res u8 frame stays on device — `png` dumps fetch it lazily, so
+    the PNG path is bit-exact, preview or not.
+
+    wireframe toggling rebuilds the raster jit (it is a static kernel
+    parameter); the skirt toggle is baked into the fused geometry program
+    and is not toggleable here — use the host engine for key-K work."""
+
+    def __init__(self, cfg: EngineConfig, width: int, height: int, *,
+                 preview: int = 2, **kw):
+        self.cfg = cfg
+        self.width, self.height = int(width), int(height)
+        self._preview = int(preview)
+        self._kw = dict(kw)
+        self._wireframe = False
+        self._skirts = True
+        self._build()
+        self.pool = self._r.init_pool()
+
+    @property
+    def skirts(self):
+        return self._skirts
+
+    @skirts.setter
+    def skirts(self, v):
+        if bool(v) != self._skirts:
+            print("(skirt toggle is baked into the fused device program; "
+                  "ignored here — use the host engine for key-K work)",
+                  flush=True)
+
+    def _build(self):
+        from planet_tpu.engine.device_step import DeviceRenderer
+        rcfg = dict(self._kw.pop("raster_cfg", None) or {})
+        rcfg["wireframe"] = self._wireframe
+        self._r = DeviceRenderer(self.cfg, self.width, self.height,
+                                 fetch="u8", preview=self._preview,
+                                 raster_cfg=rcfg, **self._kw)
+        self._kw["raster_cfg"] = {k: v for k, v in rcfg.items()
+                                  if k != "wireframe"}
+
+    @property
+    def wireframe(self):
+        return self._wireframe
+
+    @wireframe.setter
+    def wireframe(self, v):
+        if bool(v) != self._wireframe:
+            self._wireframe = bool(v)
+            print("(wireframe toggle recompiles the device raster...)",
+                  flush=True)
+            self._build()
+
+    def render(self, cam, width=None, height=None):
+        from planet_tpu.engine.planet import FrameStats
+        from planet_tpu.nums import df as dfm
+        from planet_tpu.tess import mesh as mesh_mod
+        t0 = time.perf_counter()
+        c = self.cfg
+        rot = cam_mod.camera_rotation(cam)
+        pf = cam_mod.proj_factor_from_fovy(np.deg2rad(c.fovy_deg))
+        proj = cam_mod.perspective_lh(pf, self.width / self.height,
+                                      c.near_plane, c.far_plane)
+        vp = np.asarray((proj @ cam_mod.view_from_rotation(rot))
+                        .astype(np.float32))
+        ch, cl = dfm.from_f64_np(cam.position)
+        self.pool, frame = self._r.render(self.pool, ch, cl, vp)
+        # the per-frame "display" fetch: preview only
+        shown = frame.preview if frame.preview is not None else frame.image
+        _ = np.asarray(shown)
+        n = int(frame.n_leaves)
+        gens = int(frame.n_generated)
+        dt = time.perf_counter() - t0
+        stats = FrameStats(
+            frametime_ms=dt * 1e3, fps=1.0 / max(dt, 1e-9),
+            tris=n * mesh_mod.interior_triangle_count(c.patch_verts),
+            quads=n, tiles_generated=gens,
+            texels_generated=gens * c.tile_dim * c.tile_dim)
+
+        class _Out:
+            pass
+
+        out = _Out()
+        out.stats = stats
+        # full-res u8 image stays lazy on device until the caller (the
+        # `png` command) converts it
+        return out, frame.image, frame.depth
+
+
 def run_interactive(engine: PlanetEngine, cam, slots, width: int,
                     height: int, out_dir: str, stream=None, echo=True):
     """Line-oriented interactive loop; `stream` defaults to stdin (tests
@@ -128,6 +224,13 @@ def main(argv=None):
     ap.add_argument("--interactive", action="store_true",
                     help="line-oriented terminal control mode (see "
                          "driver.INTERACTIVE_HELP)")
+    ap.add_argument("--device", action="store_true",
+                    help="interactive mode on the fully-fused device path "
+                         "(DeviceRenderer + u8 preview fetch)")
+    ap.add_argument("--preview", type=int, default=2,
+                    help="with --device: k x k preview subsampling for the "
+                         "per-frame tunnel fetch (PNG dumps stay full-res "
+                         "bit-exact; 1 disables)")
     ap.add_argument("--orbit", action="store_true",
                     help="orbit the planet instead of holding position")
     ap.add_argument("--altitude", type=float, default=None,
@@ -182,7 +285,12 @@ def main(argv=None):
 
     if args.interactive:
         print(INTERACTIVE_HELP, flush=True)
-        cam = run_interactive(engine, cam, slots, args.width, args.height,
+        ieng = engine
+        if args.device:
+            ieng = DeviceInteractiveEngine(cfg, args.width, args.height,
+                                           preview=args.preview)
+            ieng.wireframe = args.wireframe
+        cam = run_interactive(ieng, cam, slots, args.width, args.height,
                               args.out)
         if args.save_slot >= 0 and args.save_slot < len(slots):
             slots[args.save_slot] = cam.copy()

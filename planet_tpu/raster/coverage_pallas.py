@@ -65,7 +65,7 @@ TR_BLOCK = 128                   # record columns per transpose-kernel step
 
 
 def _raster_class_kernel(winh: int, width_pad: int, wireframe: bool,
-                         rec_ref, fb_in_ref, fb_ref):
+                         flag_ref, rec_ref, fb_in_ref, fb_ref):
     """One grid step: TRI_BLOCK triangles' (winh, WIN_W) window updates,
     winh = 8 * the class's aligned block span (exactly the rows the bbox
     can touch — no alignment padding; a conditional spill-window variant
@@ -101,17 +101,18 @@ def _raster_class_kernel(winh: int, width_pad: int, wireframe: bool,
     def _seed():
         fb_ref[:, :] = fb_in_ref[:, :]
 
-    # skip fully-dead record blocks (oversized caps cost ~nothing);
-    # scalar reads so the records block can live in SMEM. Span-class
-    # records carry live = -1 in row 28 (0 dead; far-straddlers, the only
-    # positive values, never reach the span classes — coverage._setup_t)
-    any_live = rec_ref[0, 28] < -0.5
-    any_wide = rec_ref[0, 14] > 0.5
-    any_wide2 = rec_ref[0, 14] > 1.5
-    for t in range(1, TRI_BLOCK):
-        any_live = any_live | (rec_ref[t, 28] < -0.5)
-        any_wide = any_wide | (rec_ref[t, 14] > 0.5)
-        any_wide2 = any_wide2 | (rec_ref[t, 14] > 1.5)
+    # skip fully-dead record blocks (oversized caps cost ~nothing) and
+    # pick the block's width body from PRE-REDUCED per-block flags:
+    # flag[0] = min over the block of row 28 (live = -1, dead = 0;
+    # far-straddlers, the only positive values, never reach the span
+    # classes — coverage._setup_t), flag[1] = max of row 14 (n_extra).
+    # Round-5 change: reducing these lane-parallel in _block_flags
+    # replaces a 3*TRI_BLOCK chained scalar-read reduction here that
+    # priced EVERY record ~13.5 ns of "empty" floor (the skip test itself
+    # was the floor — tools/microbench_span4.py).
+    any_live = flag_ref[0, 0] < -0.5
+    any_wide = flag_ref[0, 1] > 0.5
+    any_wide2 = flag_ref[0, 1] > 1.5
 
     # static iotas shared by every triangle in the block (integer iota +
     # cast: Mosaic has no f32 iota)
@@ -495,22 +496,44 @@ def _transpose_records(recs_t, interpret=False):
     )(recs_t)
 
 
+def _block_flags(recs_t):
+    """Per-TRI_BLOCK skip/width flags, reduced lane-parallel from the
+    POST-FIXUP transposed record matrix (32, cap): column 0 = min of row
+    28 (any-live test), column 1 = max of row 14 (n_extra -> width body).
+    Two scalar reads per grid step replace the kernel's former
+    3*TRI_BLOCK chained scalar-read reduction (~13.5 ns/record of floor,
+    tools/microbench_span4.py)."""
+    cap = recs_t.shape[1]
+    live = recs_t[28].reshape(cap // TRI_BLOCK, TRI_BLOCK)
+    wide = recs_t[14].reshape(cap // TRI_BLOCK, TRI_BLOCK)
+    return jnp.stack([jnp.min(live, axis=1), jnp.max(wide, axis=1)],
+                     axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "winh", "cap", "width_pad", "height_pad", "interpret", "wireframe"))
-def _run_class(records, fb, *, winh, cap, width_pad, height_pad,
-               interpret=False, wireframe=False):
+def _run_class(records, fb, flags=None, *, winh, cap, width_pad,
+               height_pad, interpret=False, wireframe=False):
     """records (cap, 32) f32 row records -> fb' with all class triangles
-    min-merged."""
+    min-merged. flags: (cap // TRI_BLOCK, 2) from _block_flags; computed
+    here from the row records when omitted (standalone tool use)."""
     if cap % TRI_BLOCK:
         raise ValueError(
             f"class cap {cap} must be a multiple of TRI_BLOCK={TRI_BLOCK} "
             "(the grid would silently drop the trailing records)")
+    if flags is None:
+        flags = jnp.stack(
+            [jnp.min(records[:, 28].reshape(-1, TRI_BLOCK), axis=1),
+             jnp.max(records[:, 14].reshape(-1, TRI_BLOCK), axis=1)],
+            axis=1)
     kernel = functools.partial(_raster_class_kernel, winh, width_pad,
                                wireframe)
     return pl.pallas_call(
         kernel,
         grid=(cap // TRI_BLOCK,),
         in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((TRI_BLOCK, 32), lambda i: (i, 0),
                          memory_space=REC_SPACE),
             pl.BlockSpec((height_pad, width_pad), lambda i: (0, 0),
@@ -519,9 +542,9 @@ def _run_class(records, fb, *, winh, cap, width_pad, height_pad,
         out_specs=pl.BlockSpec((height_pad, width_pad), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((height_pad, width_pad), jnp.int32),
-        input_output_aliases={1: 0},
+        input_output_aliases={2: 0},
         interpret=interpret,
-    )(records, fb)
+    )(flags, records, fb)
 
 
 def raster_frame_auto(clip, normal, valid, width: int, height: int, *,
@@ -653,11 +676,11 @@ def raster_frame_pallas(clip, normal, valid, width: int, height: int, *,
     for c, (cspan, cap) in enumerate(zip(SPAN_CLASSES, caps)):
         idxs = _segment(c, off, cap)
         off = off + counts[c]
-        recs = _transpose_records(
-            _class_fixup(cov._gather_packed_t(tm, idxs), 8 * cspan,
-                         width_pad, height_pad),
-            interpret=interpret)
-        fb = _run_class(recs, fb, winh=8 * cspan, cap=cap,
+        recs_t_fixed = _class_fixup(cov._gather_packed_t(tm, idxs),
+                                    8 * cspan, width_pad, height_pad)
+        recs = _transpose_records(recs_t_fixed, interpret=interpret)
+        fb = _run_class(recs, fb, _block_flags(recs_t_fixed),
+                        winh=8 * cspan, cap=cap,
                         width_pad=width_pad, height_pad=height_pad,
                         interpret=interpret, wireframe=wireframe)
         n_per_class.append(counts[c])
